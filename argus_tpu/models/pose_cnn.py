@@ -1,0 +1,94 @@
+"""NCameraCNN: N-camera cube-pose regressor (flax).
+
+Capability parity with the reference's `NCameraCNN` (argus/models.py:26-90):
+  * shared ResNet backbone across cameras via the (B*n_cams, H, W, 3) reshape
+    (reference reshapes to (B*n_cams, 3, H, W) at argus/models.py:81 — we use NHWC,
+    the TPU-native layout),
+  * per-camera 1024-d features concatenated, GELU, then a 128-128-6 MLP head
+    (argus/models.py:58-64),
+  * the output is a raw se(3) 6-vector — send it through `geom.se3_exp` for an SE(3)
+    pose (the reference keeps it a plain tensor so torch.compile works,
+    argus/models.py:32-34; under jit this is simply the natural functional design).
+
+TPU-first extensions beyond the reference:
+  * `backbone` is selectable (resnet18/34/50/101) — BASELINE.json's config list
+    includes a "ResNet-18-style backbone" variant.
+  * `dtype=bfloat16` runs the backbone + head on the MXU in bf16 while keeping
+    params and the loss in fp32 (the reference's AMP equivalent, argus/train.py:298).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from argus_tpu.models.resnet import BACKBONES
+
+
+@dataclass(frozen=True)
+class NCameraCNNConfig:
+    """Configuration for the NCameraCNN model (reference: argus/models.py:13-23).
+
+    Fields:
+        n_cams: number of cameras in the scene.
+        resnet_output_dim: output dim of the backbone projection (before the head).
+        backbone: which ResNet variant to use ("resnet50" matches the reference).
+        dtype: compute dtype name ("float32" or "bfloat16").
+    """
+
+    n_cams: int = 2
+    resnet_output_dim: int = 1024
+    backbone: str = "resnet50"
+    dtype: str = "float32"
+
+
+class NCameraCNN(nn.Module):
+    """A CNN which assumes N cameras are available in the scene.
+
+    Input: (B, H, W, 3 * n_cams) images, all cameras concatenated along channels.
+    Output: (B, 6) se(3) tangent vectors; `geom.se3_exp` maps them to SE(3).
+    """
+
+    cfg: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if x.ndim != 4:
+            raise ValueError(
+                "The input images must be of shape (B, H, W, C)! If B=1, add a dummy dimension."
+            )
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        B, H, W, C = x.shape
+        if C != 3 * cfg.n_cams:
+            raise ValueError(f"Expected {3 * cfg.n_cams} channels (n_cams={cfg.n_cams}), got {C}.")
+
+        # fold cameras into the batch so ONE backbone (shared weights) sees all views
+        x = x.reshape(B, H, W, cfg.n_cams, 3)
+        x = jnp.moveaxis(x, 3, 1).reshape(B * cfg.n_cams, H, W, 3)
+
+        backbone = BACKBONES[cfg.backbone](
+            output_dim=cfg.resnet_output_dim, dtype=dtype, name="backbone"
+        )
+        feats = backbone(x, train=train)  # (B * n_cams, resnet_output_dim)
+
+        feats = feats.reshape(B, cfg.n_cams * cfg.resnet_output_dim)
+        feats = nn.gelu(feats, approximate=False)
+
+        y = nn.Dense(128, dtype=dtype, name="head_fc1")(feats.astype(dtype))
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(128, dtype=dtype, name="head_fc2")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(6, dtype=jnp.float32, name="head_out")(y.astype(jnp.float32))
+        return y
+
+
+def init_model(cfg: NCameraCNNConfig, key: jax.Array, height: int = 256, width: int = 256):
+    """Initialize model variables with a dummy batch. Returns (model, variables)."""
+    model = NCameraCNN(cfg)
+    dummy = jnp.zeros((1, height, width, 3 * cfg.n_cams), jnp.float32)
+    variables = model.init(key, dummy, train=False)
+    return model, variables
