@@ -6,8 +6,12 @@ TPU hardware (SURVEY.md §4 "Distributed testing").
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the harness
+# pre-sets JAX_PLATFORMS=axon and a sitecustomize that registers the remote-TPU
+# backend whenever PALLAS_AXON_POOL_IPS is set — which would silently run the whole
+# suite on the real chip through a remote-compile tunnel (~0.5 s per XLA program).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
