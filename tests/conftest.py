@@ -16,6 +16,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
+# The harness sitecustomize imports jax at interpreter start, so the env vars above
+# can be too late — force the platform through the live config as well (backends
+# have not initialized yet when conftest runs).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
