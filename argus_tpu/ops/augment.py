@@ -1,0 +1,521 @@
+"""On-device, PRNG-keyed image augmentation stack (the kornia replacement).
+
+Distribution parity with the reference's `Augmentation` module
+(argus/data.py:18-103) — same transforms, same parameter ranges, same application
+order, same probabilities — implemented as pure batched JAX so the whole stack runs
+on the TPU inside the jitted train step:
+
+    order (argus/data.py:52-97):  [spaghetti arcs (from the dataset __getitem__,
+    argus/data.py:213-215)] -> random erasing (x2, off by default) -> planckian
+    jitter (p=.5) -> color jiggle (same params across an example's cameras, p=1) ->
+    gaussian blur 5x5 sigma U(3,8) (p=.5) -> motion blur k=3 angle 35 dir 0.5
+    (p=.7) -> plasma shadow (p=1) -> salt & pepper (p=.7, off by default).
+
+Design notes (TPU-first):
+  * Every transform is gated per-image with `jnp.where` (both branches compute —
+    branchless VPU code beats data-dependent control flow under XLA).
+  * Per-image convolution kernels (blur) are applied as shifted-adds, which XLA
+    fuses into a handful of VPU loops — no gather, no per-image conv dispatch.
+  * All randomness flows from an explicit `jax.random` key -> bitwise reproducible
+    across hosts/devices, unlike the reference's implicit global torch RNG
+    (SURVEY.md §7 "RNG semantics under DP").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Range = Union[float, Tuple[float, float]]
+
+
+@dataclass(frozen=True)
+class AugmentationConfig:
+    """Configuration for data augmentation (field parity: argus/data.py:18-38)."""
+
+    # color jiggle
+    brightness: Range = (0.8, 1.0)
+    contrast: Range = (0.5, 1.2)
+    saturation: Range = (0.25, 1.2)
+    hue: Range = (-0.1, 0.1)
+
+    # spaghetti
+    num_spaghetti: int = 10
+
+    # flags
+    color_jiggle: bool = True
+    planckian_jitter: bool = True
+    random_erasing: bool = False
+    blur: bool = True
+    motion_blur: bool = True
+    plasma_shadow: bool = True
+    salt_and_pepper: bool = False
+
+
+def _as_range(r: Range) -> Tuple[float, float]:
+    if isinstance(r, (int, float)):
+        return (-float(r), float(r))
+    return (float(r[0]), float(r[1]))
+
+
+def _uniform(key, shape, lo, hi):
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
+# ───────────────────────────── color-space helpers ─────────────────────────────
+
+
+def _rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """ITU-R 601 luma, the same weighting torchvision/kornia use."""
+    w = jnp.array([0.299, 0.587, 0.114], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def _rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    safe_delta = jnp.where(delta == 0, 1.0, delta)
+    s = jnp.where(maxc == 0, 0.0, delta / jnp.where(maxc == 0, 1.0, maxc))
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta == 0, 0.0, h)
+    h = (h / 6.0) % 1.0
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i_mod = jnp.mod(i, 6.0)
+    r = jnp.select([i_mod == k for k in range(6)], [v, q, p, p, t, v])
+    g = jnp.select([i_mod == k for k in range(6)], [t, v, v, q, p, p])
+    b = jnp.select([i_mod == k for k in range(6)], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# ───────────────────────────── color jiggle ─────────────────────────────
+# (reference: kornia ColorJiggle with same_on_batch=True, p=1 — argus/data.py:66-75)
+
+
+def _adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def _adjust_contrast(img, factor):
+    mean = jnp.mean(_rgb_to_gray(img), axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip(factor * img + (1.0 - factor) * mean, 0.0, 1.0)
+
+
+def _adjust_saturation(img, factor):
+    gray = _rgb_to_gray(img)
+    return jnp.clip(factor * img + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def _adjust_hue(img, shift):
+    hsv = _rgb_to_hsv(img)
+    h = (hsv[..., 0:1] + shift) % 1.0
+    return jnp.clip(_hsv_to_rgb(jnp.concatenate([h, hsv[..., 1:]], axis=-1)), 0.0, 1.0)
+
+
+def color_jiggle(
+    key: jax.Array, images: jnp.ndarray, cfg: AugmentationConfig
+) -> jnp.ndarray:
+    """Brightness/contrast/saturation/hue jitter in random order, shared params per
+    example across its cameras.
+
+    images: (B, n_cams, H, W, 3). Parameter shapes are (B, 1, 1, 1, 1)-broadcast so
+    one example's cameras see identical color params (same_on_batch semantics of the
+    reference applied per-example, argus/data.py:72).
+    """
+    B = images.shape[0]
+    kb, kc, ks, kh, korder = jax.random.split(key, 5)
+    bcast = (B, 1, 1, 1, 1)
+    b = _uniform(kb, bcast, *_as_range(cfg.brightness))
+    c = _uniform(kc, bcast, *_as_range(cfg.contrast))
+    s = _uniform(ks, bcast, *_as_range(cfg.saturation))
+    h = _uniform(kh, bcast, *_as_range(cfg.hue))
+
+    ops = [
+        lambda im: _adjust_brightness(im, b),
+        lambda im: _adjust_contrast(im, c),
+        lambda im: _adjust_saturation(im, s),
+        lambda im: _adjust_hue(im, h),
+    ]
+    # random application order (one order per call, like same_on_batch)
+    order = jax.random.permutation(korder, 4)
+    out = images
+    for slot in range(4):
+        out = jax.lax.switch(order[slot], ops, out)
+    return out
+
+
+# ───────────────────────────── planckian jitter ─────────────────────────────
+# (reference: kornia RandomPlanckianJitter(mode="blackbody"), p=.5 — argus/data.py:63-64)
+
+
+def _blackbody_rgb_table(n: int = 25, t_min: float = 3000.0, t_max: float = 15000.0) -> np.ndarray:
+    """(n, 3) R/G/B gain rows for blackbody illuminants, G-normalized.
+
+    Planck's law sampled at representative R/G/B wavelengths (610/550/465 nm) gives
+    the relative channel response under a T-kelvin illuminant; dividing by the
+    G response yields white-balance-style gains — the same *kind* of table kornia
+    ships (distribution parity, not code parity).
+    """
+    wavelengths = np.array([610e-9, 550e-9, 465e-9])  # R, G, B
+    h, c, kb = 6.626e-34, 3.0e8, 1.381e-23
+    temps = np.linspace(t_min, t_max, n)
+    table = np.zeros((n, 3))
+    for i, T in enumerate(temps):
+        # spectral radiance B(lambda, T), constant factors cancel in the ratio
+        radiance = 1.0 / (wavelengths**5 * (np.exp(h * c / (wavelengths * kb * T)) - 1.0))
+        table[i] = radiance / radiance[1]
+    return table.astype(np.float32)
+
+
+_PLANCKIAN_TABLE = _blackbody_rgb_table()
+
+
+def planckian_jitter(key: jax.Array, images: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    """Random blackbody white-balance shift per image. images: (N, H, W, 3)."""
+    N = images.shape[0]
+    kidx, kgate = jax.random.split(key)
+    idx = jax.random.randint(kidx, (N,), 0, _PLANCKIAN_TABLE.shape[0])
+    gains = jnp.asarray(_PLANCKIAN_TABLE)[idx][:, None, None, :]  # (N,1,1,3)
+    jittered = jnp.clip(images * gains, 0.0, 1.0)
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, jittered, images)
+
+
+# ───────────────────────────── gaussian blur ─────────────────────────────
+# (reference: kornia RandomGaussianBlur((5,5), (3.,8.), p=.5) — argus/data.py:78)
+
+
+def _shifted_sum_1d(images: jnp.ndarray, weights: jnp.ndarray, axis: int, radius: int) -> jnp.ndarray:
+    """Separable per-image 1-D convolution as shifted adds (reflect padding).
+
+    images: (N, H, W, C); weights: (N, 2*radius+1). XLA fuses the taps into one VPU
+    loop — far cheaper than per-image dynamic conv kernels.
+    """
+    pad = [(0, 0)] * images.ndim
+    pad[axis] = (radius, radius)
+    padded = jnp.pad(images, pad, mode="reflect")
+    out = jnp.zeros_like(images)
+    length = images.shape[axis]
+    for k in range(2 * radius + 1):
+        sl = [slice(None)] * images.ndim
+        sl[axis] = slice(k, k + length)
+        out = out + weights[:, k, None, None, None] * padded[tuple(sl)]
+    return out
+
+
+def gaussian_blur(key: jax.Array, images: jnp.ndarray, sigma_range=(3.0, 8.0), p: float = 0.5) -> jnp.ndarray:
+    """5x5 gaussian blur with per-image sigma. images: (N, H, W, 3)."""
+    N = images.shape[0]
+    ksig, kgate = jax.random.split(key)
+    sigma = _uniform(ksig, (N, 1), *sigma_range)
+    x = jnp.arange(-2.0, 3.0)[None, :]  # (1, 5)
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    w = w / jnp.sum(w, axis=1, keepdims=True)  # (N, 5)
+    blurred = _shifted_sum_1d(_shifted_sum_1d(images, w, axis=1, radius=2), w, axis=2, radius=2)
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, blurred, images)
+
+
+# ───────────────────────────── motion blur ─────────────────────────────
+# (reference: kornia RandomMotionBlur(3, 35., 0.5, p=.7) — argus/data.py:81)
+
+
+def motion_blur(
+    key: jax.Array,
+    images: jnp.ndarray,
+    angle_deg: float = 35.0,
+    direction: float = 0.5,
+    p: float = 0.7,
+) -> jnp.ndarray:
+    """3-tap directional blur at a random angle with asymmetric tap weighting.
+
+    The 3-tap line kernel (weights from `direction`) is rotated by `angle` and
+    bilinearly splatted onto a 3x3 grid per image, then applied as 9 shifted adds.
+    images: (N, H, W, 3).
+    """
+    N = images.shape[0]
+    kang, kdir, kgate = jax.random.split(key, 3)
+    theta = jnp.deg2rad(_uniform(kang, (N,), -angle_deg, angle_deg))
+    d = _uniform(kdir, (N,), -direction, direction)
+
+    # tap weights along the line: linear ramp controlled by direction, sum=1
+    w_taps = jnp.stack([(1.0 - d) / 2.0, jnp.ones_like(d), (1.0 + d) / 2.0], axis=1)
+    w_taps = w_taps / jnp.sum(w_taps, axis=1, keepdims=True)  # (N, 3)
+
+    # rotate tap positions (-1, 0, +1 along x) and splat bilinearly into 3x3
+    offsets = jnp.array([-1.0, 0.0, 1.0])
+    px = offsets[None, :] * jnp.cos(theta)[:, None]  # (N, 3)
+    py = offsets[None, :] * jnp.sin(theta)[:, None]
+    kernel = jnp.zeros((N, 3, 3))
+    for t in range(3):
+        x, y, wt = px[:, t], py[:, t], w_taps[:, t]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wx = jnp.where(dx == 0, 1.0 - fx, fx)
+                wy = jnp.where(dy == 0, 1.0 - fy, fy)
+                gx = jnp.clip(x0 + dx + 1, 0, 2).astype(jnp.int32)
+                gy = jnp.clip(y0 + dy + 1, 0, 2).astype(jnp.int32)
+                kernel = kernel.at[jnp.arange(N), gy, gx].add(wt * wx * wy)
+    kernel = kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)
+
+    # apply 3x3 per-image kernel as shifted adds (reflect padding)
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    H, W = images.shape[1], images.shape[2]
+    out = jnp.zeros_like(images)
+    for ky in range(3):
+        for kx in range(3):
+            out = out + kernel[:, ky, kx, None, None, None] * padded[:, ky : ky + H, kx : kx + W, :]
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, out, images)
+
+
+# ───────────────────────────── plasma shadow ─────────────────────────────
+# (reference: kornia RandomPlasmaShadow(roughness=(.1,.4), shade_intensity=(-.6,0),
+#  shade_quantity=(0,.5), p=1) — argus/data.py:84-87)
+
+
+def _plasma_fractal(key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray) -> jnp.ndarray:
+    """Multi-octave value-noise "plasma" field in [0, 1], per image.
+
+    Iterative bilinear upsample + scaled noise (the spectral shape of
+    diamond-square): octave i's noise amplitude is roughness^i. roughness: (n, 1, 1).
+    """
+    H, W = hw
+    size = 2
+    k0, key = jax.random.split(key)
+    field = jax.random.uniform(k0, (n, size, size))
+    amp = roughness
+    while size < max(H, W):
+        size *= 2
+        key, sub = jax.random.split(key)
+        field = jax.image.resize(field, (n, size, size), method="bilinear")
+        field = field + amp * (jax.random.uniform(sub, (n, size, size)) - 0.5)
+        amp = amp * roughness
+    field = field[:, :H, :W]
+    fmin = jnp.min(field, axis=(1, 2), keepdims=True)
+    fmax = jnp.max(field, axis=(1, 2), keepdims=True)
+    return (field - fmin) / jnp.maximum(fmax - fmin, 1e-6)
+
+
+def plasma_shadow(
+    key: jax.Array,
+    images: jnp.ndarray,
+    roughness=(0.1, 0.4),
+    shade_intensity=(-0.6, 0.0),
+    shade_quantity=(0.0, 0.5),
+    p: float = 1.0,
+) -> jnp.ndarray:
+    """Darken a random fractal-shaped region of each image. images: (N, H, W, 3)."""
+    N, H, W = images.shape[:3]
+    kr, ki, kq, kf, kgate = jax.random.split(key, 5)
+    rough = _uniform(kr, (N, 1, 1), *roughness)
+    intensity = _uniform(ki, (N, 1, 1, 1), *shade_intensity)
+    quantity = _uniform(kq, (N, 1, 1), *shade_quantity)
+    plasma = _plasma_fractal(kf, N, (H, W), rough)
+    shade = jnp.where(plasma < quantity, 1.0, 0.0)[..., None] * intensity
+    shadowed = jnp.clip(images + shade, 0.0, 1.0)
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, shadowed, images)
+
+
+# ───────────────────────────── random erasing ─────────────────────────────
+# (reference: kornia RandomErasing x2, p=.5 each, off by default — argus/data.py:54-62)
+
+
+def random_erasing(
+    key: jax.Array,
+    images: jnp.ndarray,
+    scale=(0.02, 0.1),
+    ratio=(2.0, 3.0),
+    value: float = 0.0,
+    p: float = 0.5,
+) -> jnp.ndarray:
+    """Erase one random rectangle per image with `value`. images: (N, H, W, 3)."""
+    N, H, W = images.shape[:3]
+    ks, kr, kx, ky, kgate = jax.random.split(key, 5)
+    area = _uniform(ks, (N,), *scale) * H * W
+    aspect = _uniform(kr, (N,), *ratio)
+    rh = jnp.sqrt(area * aspect)
+    rw = jnp.sqrt(area / aspect)
+    cy = _uniform(ky, (N,), 0.0, 1.0) * (H - rh)
+    cx = _uniform(kx, (N,), 0.0, 1.0) * (W - rw)
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    mask = (
+        (yy >= cy[:, None, None])
+        & (yy < (cy + rh)[:, None, None])
+        & (xx >= cx[:, None, None])
+        & (xx < (cx + rw)[:, None, None])
+    )[..., None]
+    erased = jnp.where(mask, value, images)
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, erased, images)
+
+
+# ───────────────────────────── salt & pepper ─────────────────────────────
+# (reference: kornia RandomSaltAndPepperNoise(p=.7), off by default — argus/data.py:90)
+
+
+def salt_and_pepper(
+    key: jax.Array,
+    images: jnp.ndarray,
+    amount=(0.01, 0.06),
+    salt_vs_pepper=(0.4, 0.6),
+    p: float = 0.7,
+) -> jnp.ndarray:
+    """Set a random fraction of pixels to 0 or 1 (all channels). images: (N, H, W, 3)."""
+    N, H, W = images.shape[:3]
+    ka, ks, ku, kgate = jax.random.split(key, 4)
+    amt = _uniform(ka, (N, 1, 1), *amount)
+    svp = _uniform(ks, (N, 1, 1), *salt_vs_pepper)
+    u = jax.random.uniform(ku, (N, H, W))
+    salt = (u < amt * svp)[..., None]
+    pepper = ((u >= amt * svp) & (u < amt))[..., None]
+    out = jnp.where(salt, 1.0, jnp.where(pepper, 0.0, images))
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
+    return jnp.where(gate, out, images)
+
+
+# ───────────────────────────── spaghetti arcs ─────────────────────────────
+# (reference: host-side PIL black arcs in the dataset __getitem__,
+#  argus/utils.py:252-275 + argus/data.py:213-215)
+
+
+def spaghetti_arcs(
+    key: jax.Array,
+    images: jnp.ndarray,
+    n_arcs: int = 10,
+    width_range=(1.0, 5.0),
+) -> jnp.ndarray:
+    """Draw `n_arcs` random black elliptical arcs per image — batched, on-device.
+
+    Arcs are rendered implicitly: a pixel is on the arc when its normalized
+    elliptical radius is within (stroke width)/2 of the ring and its polar angle
+    falls in the [start, end) sweep — the same visual as PIL's ImageDraw.arc without
+    any host round-trip. images: (N, H, W, 3).
+    """
+    if n_arcs <= 0:
+        return images
+    N, H, W = images.shape[:3]
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    # bbox: (x0, y0) uniform; (x1, y1) uniform in [x0, W) x [y0, H)  (PIL recipe)
+    x0 = _uniform(k1, (N, n_arcs), 0.0, W)
+    y0 = _uniform(k2, (N, n_arcs), 0.0, H)
+    x1 = x0 + _uniform(k3, (N, n_arcs), 0.0, 1.0) * (W - x0)
+    y1 = y0 + _uniform(k4, (N, n_arcs), 0.0, 1.0) * (H - y0)
+    a0 = _uniform(k5, (N, n_arcs), 0.0, 360.0)
+    a1 = _uniform(k6, (N, n_arcs), 0.0, 360.0)
+    width = _uniform(k7, (N, n_arcs), *width_range)
+
+    cx = (x0 + x1) / 2.0
+    cy = (y0 + y1) / 2.0
+    rx = jnp.maximum((x1 - x0) / 2.0, 1e-3)
+    ry = jnp.maximum((y1 - y0) / 2.0, 1e-3)
+
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1)
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W)
+
+    def draw_one(arc_idx, imgs):
+        # broadcast (N, 1, 1) params against the (H, W) grid
+        dx = (xx[None] - cx[:, arc_idx, None, None]) / rx[:, arc_idx, None, None]
+        dy = (yy[None] - cy[:, arc_idx, None, None]) / ry[:, arc_idx, None, None]
+        rho = jnp.sqrt(dx * dx + dy * dy)
+        r_min = jnp.minimum(rx[:, arc_idx], ry[:, arc_idx])[:, None, None]
+        on_ring = jnp.abs(rho - 1.0) * r_min < width[:, arc_idx, None, None] / 2.0
+        theta = jnp.rad2deg(jnp.arctan2(dy, dx)) % 360.0
+        sweep = (a1[:, arc_idx] - a0[:, arc_idx]) % 360.0
+        in_sweep = (theta - a0[:, arc_idx, None, None]) % 360.0 <= sweep[:, None, None]
+        mask = (on_ring & in_sweep)[..., None]
+        return jnp.where(mask, 0.0, imgs)
+
+    return jax.lax.fori_loop(0, n_arcs, draw_one, images)
+
+
+# ───────────────────────────── full stack ─────────────────────────────
+
+
+def apply_augmentation(
+    cfg: AugmentationConfig,
+    key: jax.Array,
+    images: jnp.ndarray,
+    n_cams: int = 2,
+    train: bool = True,
+) -> jnp.ndarray:
+    """Apply the full augmentation stack. images: (B, H, W, 3*n_cams) float32 [0,1].
+
+    Transform order matches the reference's AugmentationSequential construction
+    (argus/data.py:52-97), with spaghetti arcs first (they happen in the dataset
+    __getitem__ there). Color jiggle shares parameters across one example's cameras;
+    everything else is independent per camera image.
+    """
+    if not train:
+        return images
+    B, H, W, C = images.shape
+    assert C == 3 * n_cams, f"expected {3 * n_cams} channels, got {C}"
+
+    # (B, H, W, n_cams*3) -> (B*n_cams, H, W, 3)
+    per_cam = jnp.moveaxis(images.reshape(B, H, W, n_cams, 3), 3, 1).reshape(B * n_cams, H, W, 3)
+
+    keys = jax.random.split(key, 9)
+
+    if cfg.num_spaghetti > 0:
+        per_cam = spaghetti_arcs(keys[0], per_cam, cfg.num_spaghetti)
+    if cfg.random_erasing:
+        per_cam = random_erasing(keys[1], per_cam, scale=(0.02, 0.1), ratio=(2.0, 3.0), value=0.0)
+        per_cam = random_erasing(keys[2], per_cam, scale=(0.02, 0.05), ratio=(0.8, 1.2), value=1.0)
+    if cfg.planckian_jitter:
+        per_cam = planckian_jitter(keys[3], per_cam)
+    if cfg.color_jiggle:
+        grouped = per_cam.reshape(B, n_cams, H, W, 3)
+        grouped = color_jiggle(keys[4], grouped, cfg)
+        per_cam = grouped.reshape(B * n_cams, H, W, 3)
+    if cfg.blur:
+        per_cam = gaussian_blur(keys[5], per_cam)
+    if cfg.motion_blur:
+        per_cam = motion_blur(keys[6], per_cam)
+    if cfg.plasma_shadow:
+        per_cam = plasma_shadow(keys[7], per_cam)
+    if cfg.salt_and_pepper:
+        per_cam = salt_and_pepper(keys[8], per_cam)
+
+    # back to (B, H, W, n_cams*3)
+    out = jnp.moveaxis(per_cam.reshape(B, n_cams, H, W, 3), 1, 3).reshape(B, H, W, n_cams * 3)
+    return out
+
+
+class Augmentation:
+    """Object-style wrapper matching the reference's `Augmentation` module API
+    (argus/data.py:41-103): construct with a config + train flag, call on images.
+
+    The call takes an explicit PRNG key (JAX-functional); everything runs on-device.
+    """
+
+    def __init__(self, cfg: AugmentationConfig, train: bool = True, n_cams: int = 2) -> None:
+        self.cfg = cfg
+        self.train = train
+        self.n_cams = n_cams
+
+    def __call__(self, images: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        return apply_augmentation(self.cfg, key, images, n_cams=self.n_cams, train=self.train)

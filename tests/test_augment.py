@@ -1,0 +1,122 @@
+"""Augmentation-stack tests: shape/range invariants, gating, determinism, and
+distribution sanity for each transform (reference kornia stack: argus/data.py:41-103)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from argus_tpu.ops import augment as A
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    key = jax.random.PRNGKey(0)
+    return jax.random.uniform(key, (4, 64, 64, 3))
+
+
+def _check(out, ref):
+    assert out.shape == ref.shape
+    assert jnp.all(out >= 0.0) and jnp.all(out <= 1.0)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_color_jiggle(imgs):
+    grouped = imgs.reshape(2, 2, 64, 64, 3)
+    out = A.color_jiggle(jax.random.PRNGKey(1), grouped, A.AugmentationConfig())
+    _check(out, grouped)
+    assert not jnp.allclose(out, grouped)
+    # determinism: same key, same result
+    out2 = A.color_jiggle(jax.random.PRNGKey(1), grouped, A.AugmentationConfig())
+    assert jnp.allclose(out, out2)
+
+
+def test_planckian_jitter(imgs):
+    out = A.planckian_jitter(jax.random.PRNGKey(2), imgs, p=1.0)
+    _check(out, imgs)
+    # G channel gain is 1 in the blackbody table -> G unchanged (up to clipping)
+    assert jnp.allclose(out[..., 1], jnp.clip(imgs[..., 1], 0, 1), atol=1e-6)
+    # p=0 -> identity
+    assert jnp.allclose(A.planckian_jitter(jax.random.PRNGKey(2), imgs, p=0.0), imgs)
+
+
+def test_gaussian_blur_smooths(imgs):
+    out = A.gaussian_blur(jax.random.PRNGKey(3), imgs, p=1.0)
+    _check(out, imgs)
+    # variance must drop under a strong blur
+    assert jnp.var(out) < jnp.var(imgs)
+    # mean roughly preserved (kernel sums to 1, reflect padding)
+    assert jnp.allclose(jnp.mean(out), jnp.mean(imgs), atol=1e-3)
+
+
+def test_motion_blur(imgs):
+    out = A.motion_blur(jax.random.PRNGKey(4), imgs, p=1.0)
+    _check(out, imgs)
+    assert jnp.var(out) < jnp.var(imgs)
+    assert jnp.allclose(jnp.mean(out), jnp.mean(imgs), atol=1e-3)
+
+
+def test_plasma_shadow_only_darkens(imgs):
+    out = A.plasma_shadow(jax.random.PRNGKey(5), imgs, p=1.0)
+    _check(out, imgs)
+    assert jnp.all(out <= imgs + 1e-6)  # shade_intensity <= 0
+
+
+def test_random_erasing(imgs):
+    out = A.random_erasing(jax.random.PRNGKey(6), imgs, value=0.0, p=1.0)
+    _check(out, imgs)
+    # some pixels got zeroed
+    assert jnp.sum(out == 0.0) > jnp.sum(imgs == 0.0)
+
+
+def test_salt_and_pepper(imgs):
+    out = A.salt_and_pepper(jax.random.PRNGKey(7), imgs, p=1.0)
+    _check(out, imgs)
+    n_salt = jnp.sum(out == 1.0)
+    n_pepper = jnp.sum(out == 0.0)
+    assert n_salt > 0 and n_pepper > 0
+
+
+def test_spaghetti_arcs(imgs):
+    bright = jnp.clip(imgs + 0.5, 0.3, 1.0)  # no black pixels to start
+    out = A.spaghetti_arcs(jax.random.PRNGKey(8), bright, n_arcs=10)
+    assert out.shape == bright.shape
+    assert jnp.sum(out == 0.0) > 0  # arcs drew black pixels
+    frac_black = jnp.mean(out == 0.0)
+    assert frac_black < 0.5  # but not a blackout
+    # n_arcs=0 is identity
+    assert jnp.allclose(A.spaghetti_arcs(jax.random.PRNGKey(8), bright, n_arcs=0), bright)
+
+
+def test_full_stack_jits_and_is_deterministic():
+    cfg = A.AugmentationConfig()
+    key = jax.random.PRNGKey(9)
+    images = jax.random.uniform(jax.random.PRNGKey(10), (2, 64, 64, 6))
+    f = jax.jit(lambda k, x: A.apply_augmentation(cfg, k, x, n_cams=2, train=True))
+    out1 = f(key, images)
+    out2 = f(key, images)
+    assert out1.shape == images.shape
+    assert jnp.allclose(out1, out2)
+    assert not jnp.allclose(out1, images)
+    assert jnp.all(out1 >= 0) and jnp.all(out1 <= 1)
+    # eval mode is identity (reference Augmentation.forward train gate, argus/data.py:99-103)
+    out_eval = A.apply_augmentation(cfg, key, images, n_cams=2, train=False)
+    assert jnp.allclose(out_eval, images)
+
+
+def test_color_jiggle_shared_across_cams():
+    """One example's cameras must receive identical color params (same_on_batch
+    semantics, argus/data.py:72)."""
+    cfg = A.AugmentationConfig(
+        color_jiggle=True,
+        planckian_jitter=False,
+        blur=False,
+        motion_blur=False,
+        plasma_shadow=False,
+        num_spaghetti=0,
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(11), (1, 32, 32, 3))
+    both = jnp.concatenate([img, img], axis=-1)  # same image in both cams
+    out = A.apply_augmentation(cfg, jax.random.PRNGKey(12), both, n_cams=2)
+    # identical inputs + identical params => identical outputs per camera
+    np.testing.assert_allclose(out[..., :3], out[..., 3:], rtol=1e-5)

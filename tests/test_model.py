@@ -1,0 +1,74 @@
+"""Model tests (mirrors reference tests/test_model.py:7-17, extended with backbone
+variants and bf16)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.models.pose_cnn import init_model
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    """ResNet-18 at low res keeps CPU test time sane; the head/reshape logic under
+    test is identical across backbones."""
+    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=64)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), height=64, width=64)
+    return cfg, model, variables
+
+
+def test_forward(small_model):
+    cfg, model, variables = small_model
+    # unbatched input must raise
+    x = jnp.zeros((64, 64, 6))
+    with pytest.raises(ValueError):
+        model.apply(variables, x)
+
+    # wrong channel count must raise
+    with pytest.raises(ValueError):
+        model.apply(variables, jnp.zeros((2, 64, 64, 9)))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 6))
+    pose = model.apply(variables, x)
+    assert pose.shape == (2, 6)
+    assert jnp.all(jnp.isfinite(pose))
+
+
+def test_shared_backbone_across_cameras(small_model):
+    """Feeding (img, img) must produce identical per-camera features: the backbone is
+    shared via the fold-into-batch reshape (reference argus/models.py:81)."""
+    cfg, model, variables = small_model
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    x_same = jnp.concatenate([img, img], axis=-1)
+    x_swap = jnp.concatenate([img * 0.5, img], axis=-1)
+    out_same = model.apply(variables, x_same)
+    out_swap = model.apply(variables, x_swap)
+    assert out_same.shape == (1, 6)
+    assert not jnp.allclose(out_same, out_swap)
+
+
+def test_train_mode_updates_batch_stats(small_model):
+    cfg, model, variables = small_model
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 6))
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 6)
+    # running stats must actually move
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not jnp.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_bf16_compute():
+    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=32, dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), height=32, width=32)
+    out = model.apply(variables, jnp.ones((2, 32, 32, 6)))
+    assert out.dtype == jnp.float32  # params/output fp32, compute bf16
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_jit_forward(small_model):
+    cfg, model, variables = small_model
+    f = jax.jit(lambda v, x: model.apply(v, x))
+    out = f(variables, jnp.ones((2, 64, 64, 6)))
+    assert out.shape == (2, 6)
