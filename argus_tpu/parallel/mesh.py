@@ -1,0 +1,117 @@
+"""Mesh + sharding utilities.
+
+The scaling design (scaling-book recipe): pick a mesh, annotate shardings on the
+jitted train step's inputs, and let XLA insert the collectives.
+
+  * axis "data"  — batch dimension (DP). Gradients are automatically psum-reduced
+    over this axis by XLA because params are replicated along it. This replaces the
+    reference's DDP/NCCL all-reduce (argus/train.py:140,199).
+  * axis "model" — optional tensor-parallel axis for the wide dense layers (the
+    ResNet fc projection and head MLP input are the only >=2048-wide matmuls in the
+    flagship model). Size 1 by default; the multichip dry-run exercises >1.
+
+Multi-host: `init_distributed` wraps `jax.distributed.initialize` (the
+`MASTER_ADDR/PORT` rendezvous equivalent, argus/train.py:138-140); `global_batch`
+builds a global array from per-host shards (the DistributedSampler equivalent).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize multi-host JAX if requested; returns (process_index, process_count).
+
+    Single-process callers (1 host, N local chips) skip initialization entirely —
+    unlike the reference, which spawns one process per GPU (argus/train.py:373-378),
+    JAX drives all local devices from one process.
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh over `devices` (default: all devices).
+
+    n_data defaults to len(devices) // n_model. The mesh axes are laid out so the
+    "model" axis maps to adjacent devices (ICI neighbors on a real slice).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {len(devices)}"
+    )
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules for the flagship model's wide dense layers. Only matmuls wide
+# enough to amortize a collective are sharded; conv kernels replicate (they are small
+# relative to activations for this model family).
+DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # backbone projection: (2048, output_dim) -> shard output features
+    (r".*backbone/fc/kernel$", P(None, "model")),
+    (r".*backbone/fc/bias$", P("model")),
+    # head fc1 consumes the (n_cams*output_dim) concat -> shard the contraction dim;
+    # XLA inserts a psum over "model" after the matmul
+    (r".*head_fc1/kernel$", P("model", None)),
+)
+
+
+def param_shardings(params, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
+    """Map a param pytree to NamedShardings: TP rules where they match, replicated
+    elsewhere. Works on any pytree with string-keyed paths."""
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def assign(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if mesh.shape["model"] > 1:
+            for pat, spec in compiled:
+                if pat.match(path_str):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def global_batch(mesh: Mesh, host_batch: dict) -> dict:
+    """Assemble a globally-sharded batch from this host's local numpy shard.
+
+    Single-process: a plain device_put with the batch sharding. Multi-host: each
+    process contributes its local shard (`jax.make_array_from_process_local_data`).
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(host_batch, sharding)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v) for k, v in host_batch.items()
+    }

@@ -1,0 +1,421 @@
+"""Training runtime: jitted train step + data-parallel loop.
+
+Capability parity with the reference's `argus/train.py`, redesigned for TPU:
+
+  reference                                   | here
+  --------------------------------------------|----------------------------------
+  DDP + NCCL process group (train.py:137-140) | ("data","model") Mesh; jit +
+                                              | NamedSharding; XLA psum over ICI
+  one process per GPU via mp.spawn (:373-378) | one process drives all local chips
+  DistributedSampler (:154-166)               | HostDataLoader per-host sharding
+  fp16 autocast + GradScaler (:234,298-320)   | bf16 compute (`amp` flag); loss in
+                                              | fp32; no scaler needed (bf16 range)
+  torch.compile + per-shape warmup (:202-229) | jit with ONE static shape (final
+                                              | batches are padded + masked)
+  Adam + clip(1.0) + ReduceLROnPlateau (:232) | optax adam + global-norm clip +
+                                              | host-side plateau schedule
+  per-step wandb loss (:311-312)              | MetricsLogger (JSONL, wandb-compat)
+  rank-0 state_dict save (:350-358)           | process-0 msgpack checkpoint holding
+                                              | the FULL train state (resumable)
+
+The geodesic loss is the reference's exactly: L2 in the SE(3) tangent space
+(train.py:105-119), via argus_tpu.geom instead of pypose.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from argus_tpu import ROOT
+from argus_tpu.checkpoint import load_checkpoint, save_checkpoint
+from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig, HostDataLoader
+from argus_tpu.geom import se3_exp, se3_inverse, se3_log, se3_multiply
+from argus_tpu.logging_utils import MetricsLogger, generate_run_id
+from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.ops.augment import AugmentationConfig, apply_augmentation, spaghetti_arcs
+from argus_tpu.ops.image import u8_to_f32
+from argus_tpu.parallel import batch_sharding, global_batch, make_mesh, param_shardings
+
+
+# ───────────────────────────── config ─────────────────────────────
+
+
+@dataclass(frozen=False)
+class TrainConfig:
+    """Configuration for training (field parity: argus/train.py:29-102).
+
+    For path fields you can pass an absolute path, a cwd-relative path, or a path
+    relative to the repo ROOT.
+
+    Fields:
+        dataset_config: dataset configuration.
+        model_config: model configuration.
+        compile_model: kept for CLI parity; jit is always on in JAX.
+        batch_size: GLOBAL batch size (sharded over the data mesh axis).
+        learning_rate: Adam learning rate.
+        n_epochs: number of epochs.
+        max_grad_norm: global gradient-norm clip.
+        random_seed: seed for params, shuffling, and augmentation streams.
+        multigpu: shard the train step over all local chips (reference flag name;
+            here it means "use every device in jax.devices()" on a data axis).
+        num_model_shards: tensor-parallel axis size for the wide dense layers.
+        amp: bf16 compute (the TPU analogue of the reference's fp16 autocast).
+        val_epochs / print_epochs / save_epochs: cadence controls.
+        save_dir: checkpoint directory.
+        use_augmentation: apply the augmentation stack in the train step.
+        val_spaghetti: reference behavior — spaghetti arcs ARE applied to val data
+            (argus/data.py:213 runs regardless of the train flag) and therefore
+            drive the plateau scheduler; disable for clean val losses.
+        wandb_project / wandb_log: metrics logging (JSONL locally; wandb if present).
+        resume_from: checkpoint path to resume full train state from.
+    """
+
+    dataset_config: CameraCubePoseDatasetConfig
+    model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+    compile_model: bool = True
+
+    # training parameters
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    n_epochs: int = 100
+    max_grad_norm: float = 1.0
+    random_seed: int = 42
+
+    # parallelism / speed
+    multigpu: bool = False
+    num_model_shards: int = 1
+    amp: bool = False
+    num_workers: int = 16
+
+    # validation, printing, and saving
+    val_epochs: int = 1
+    print_epochs: int = 1
+    save_epochs: int = 5
+    save_dir: str = os.path.join(ROOT, "outputs", "models")
+
+    # data augmentation
+    augmentation_config: AugmentationConfig = field(default_factory=AugmentationConfig)
+    use_augmentation: bool = True
+    val_spaghetti: bool = True
+
+    # logging / resume
+    wandb_project: str = "argus-estimator"
+    wandb_log: bool = True
+    resume_from: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        assert isinstance(self.save_dir, str)
+        if not os.path.exists(self.save_dir):
+            if os.path.exists(ROOT + "/" + self.save_dir):
+                self.save_dir = ROOT + "/" + self.save_dir
+            else:
+                os.makedirs(self.save_dir, exist_ok=True)
+
+
+# ───────────────────────────── loss ─────────────────────────────
+
+
+def geometric_loss_fn(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic SE(3) loss: || Log( Exp(pred) . target^-1 ) ||^2 per sample.
+
+    pred: (..., 6) se(3) vectors; target: (..., 7) SE(3) poses (xyzw quats).
+    Exact semantics of the reference (argus/train.py:105-119). Always fp32.
+    """
+    err = se3_log(se3_multiply(se3_exp(pred.astype(jnp.float32)), se3_inverse(target)))
+    return jnp.sum(err**2, axis=-1)
+
+
+# ───────────────────────────── train state ─────────────────────────────
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    lr: jnp.ndarray  # current learning rate (plateau-scheduled on host)
+
+
+def make_optimizer(max_grad_norm: float) -> optax.GradientTransformation:
+    """clip-then-Adam, identical order to the reference (unscale -> clip -> step,
+    argus/train.py:316-319). The LR is applied separately from TrainState.lr so the
+    host-side plateau scheduler can adjust it without rebuilding opt state."""
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.scale_by_adam())
+
+
+def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tuple:
+    """Initialize model + optimizer state. Returns (model, state)."""
+    model_cfg = cfg.model_config
+    if cfg.amp and model_cfg.dtype != "bfloat16":
+        model_cfg = NCameraCNNConfig(
+            n_cams=model_cfg.n_cams,
+            resnet_output_dim=model_cfg.resnet_output_dim,
+            backbone=model_cfg.backbone,
+            dtype="bfloat16",
+        )
+    model = NCameraCNN(model_cfg)
+    dummy = jnp.zeros((1, *sample_hw, 3 * model_cfg.n_cams), jnp.float32)
+    variables = model.init(key, dummy, train=False)
+    tx = make_optimizer(cfg.max_grad_norm)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+    )
+    return model, state
+
+
+# ───────────────────────────── steps ─────────────────────────────
+
+
+def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
+    """Build the jitted train step. The whole hot path — u8->f32, augmentation,
+    forward, loss, backward, clipped Adam update — is ONE XLA program."""
+    tx = make_optimizer(cfg.max_grad_norm)
+    aug_cfg = cfg.augmentation_config
+    n_cams = cfg.model_config.n_cams
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        key = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
+        images = u8_to_f32(batch["images"])
+        if cfg.use_augmentation:
+            images = apply_augmentation(aug_cfg, key, images, n_cams=n_cams, train=True)
+
+        def loss_fn(params):
+            pred, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = geometric_loss_fn(pred, batch["cube_pose"])
+            mask = batch["mask"]
+            loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
+    """Jitted eval step. Returns (sum of per-sample losses, count) so the epoch mean
+    is exact under padding. Spaghetti arcs are applied when cfg.val_spaghetti, which
+    is what the reference's val pipeline effectively does (argus/data.py:213)."""
+    n_cams = cfg.model_config.n_cams
+    n_spag = cfg.augmentation_config.num_spaghetti if cfg.use_augmentation else 0
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        images = u8_to_f32(batch["images"])
+        if cfg.val_spaghetti and n_spag > 0:
+            key = jax.random.fold_in(jax.random.PRNGKey(base_seed + 1), state.step)
+            B, H, W, C = images.shape
+            per_cam = jnp.moveaxis(images.reshape(B, H, W, n_cams, 3), 3, 1).reshape(
+                B * n_cams, H, W, 3
+            )
+            per_cam = spaghetti_arcs(key, per_cam, n_spag)
+            images = jnp.moveaxis(per_cam.reshape(B, n_cams, H, W, 3), 1, 3).reshape(B, H, W, C)
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+        )
+        losses = geometric_loss_fn(pred, batch["cube_pose"])
+        mask = batch["mask"]
+        return jnp.sum(losses * mask), jnp.sum(mask)
+
+    return eval_step
+
+
+# ───────────────────────────── plateau scheduler ─────────────────────────────
+
+
+class ReduceLROnPlateau:
+    """Host-side ReduceLROnPlateau(min, patience=5, factor=0.5) — the reference's
+    scheduler (argus/train.py:233, torch semantics: relative threshold 1e-4,
+    reduce when bad epochs exceed patience)."""
+
+    def __init__(self, patience: int = 5, factor: float = 0.5, threshold: float = 1e-4):
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return lr * self.factor
+        return lr
+
+
+# ───────────────────────────── training loop ─────────────────────────────
+
+
+def rank_print(msg: str, rank: int = 0) -> None:
+    """Print only on process 0 (reference: argus/train.py:258-261)."""
+    if rank == 0:
+        print(msg)
+
+
+def initialize_training(cfg: TrainConfig):
+    """Set up mesh, datasets, loaders, model, state, steps, and logging.
+
+    Returns a dict of everything `train` needs (the reference returns a 10-tuple,
+    argus/train.py:122-255).
+    """
+    process_index, process_count = jax.process_index(), jax.process_count()
+
+    # mesh: all local devices when multigpu, else a single device
+    if cfg.multigpu:
+        mesh = make_mesh(n_model=cfg.num_model_shards)
+    else:
+        mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    n_data = mesh.shape["data"]
+    assert cfg.batch_size % (n_data) == 0, (
+        f"global batch {cfg.batch_size} must divide over {n_data} data shards"
+    )
+
+    # datasets + loaders (per-host sharded; augmentation runs on-device)
+    train_dataset = CameraCubePoseDataset(cfg.dataset_config, train=True)
+    val_dataset = CameraCubePoseDataset(cfg.dataset_config, train=False)
+    loader_kw = dict(
+        batch_size=cfg.batch_size,
+        num_workers=cfg.num_workers,
+        process_index=process_index,
+        process_count=process_count,
+        seed=cfg.random_seed,
+    )
+    train_loader = HostDataLoader(train_dataset, shuffle=True, **loader_kw)
+    val_loader = HostDataLoader(val_dataset, shuffle=False, **loader_kw)
+
+    # model + state, placed according to the mesh
+    sample_hw = tuple(cfg.dataset_config.center_crop or train_dataset[0]["images"].shape[:2])
+    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.random_seed), sample_hw)
+    if cfg.resume_from is not None:
+        state = load_checkpoint(cfg.resume_from, target=state)
+    shardings = TrainState(
+        step=param_shardings(state.step, mesh),
+        params=param_shardings(state.params, mesh),
+        batch_stats=param_shardings(state.batch_stats, mesh),
+        opt_state=param_shardings(state.opt_state, mesh),
+        lr=param_shardings(state.lr, mesh),
+    )
+    state = jax.device_put(state, shardings)
+
+    train_step = make_train_step(model, cfg, base_seed=cfg.random_seed)
+    eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed)
+
+    run_id = generate_run_id()
+    logger = MetricsLogger(
+        cfg.wandb_project,
+        run_id=run_id,
+        config=cfg,
+        enabled=cfg.wandb_log and process_index == 0,
+    )
+
+    return dict(
+        mesh=mesh,
+        model=model,
+        state=state,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        train_step=train_step,
+        eval_step=eval_step,
+        logger=logger,
+        run_id=run_id,
+        rank=process_index,
+    )
+
+
+def train(cfg: TrainConfig) -> str:
+    """Main training loop (reference: argus/train.py:264-361). Returns the
+    checkpoint path."""
+    from tqdm import tqdm
+
+    setup = initialize_training(cfg)
+    mesh = setup["mesh"]
+    state = setup["state"]
+    train_step, eval_step = setup["train_step"], setup["eval_step"]
+    logger, run_id, rank = setup["logger"], setup["run_id"], setup["rank"]
+    scheduler = ReduceLROnPlateau(patience=5, factor=0.5)
+    ckpt_path = str(Path(cfg.save_dir) / f"{run_id}.ckpt")
+
+    lr = float(cfg.learning_rate)
+    for epoch in tqdm(range(cfg.n_epochs), desc="Epoch", disable=(rank != 0)):
+        setup["train_loader"].set_epoch(epoch)
+
+        # ── train ──
+        epoch_losses = []
+        for batch in tqdm(
+            setup["train_loader"], desc="Iterations", leave=False, disable=(rank != 0)
+        ):
+            device_batch = global_batch(mesh, batch)
+            state, loss = train_step(state, device_batch)
+            loss_val = float(loss)
+            epoch_losses.append(loss_val)
+            logger.log({"loss": loss_val})
+
+        if epoch % cfg.print_epochs == 0:
+            rank_print(f"    Avg. Loss in Epoch: {np.mean(epoch_losses):.6f}", rank)
+
+        # ── validation + plateau schedule ──
+        if epoch % cfg.val_epochs == 0:
+            total, count = 0.0, 0.0
+            for batch in setup["val_loader"]:
+                s, c = eval_step(state, global_batch(mesh, batch))
+                total += float(s)
+                count += float(c)
+            val_loss = total / max(count, 1.0)
+            logger.log({"val_loss": val_loss})
+            rank_print(f"    Validation loss: {val_loss:.6f}", rank)
+            new_lr = scheduler.step(val_loss, lr)
+            if new_lr != lr:
+                lr = new_lr
+                state = state.replace(lr=jnp.asarray(lr, jnp.float32))
+                rank_print(f"    Reducing learning rate to {lr:.2e}", rank)
+
+        # ── checkpoint (full train state; single format for 1..N chips) ──
+        if epoch % cfg.save_epochs == 0:
+            save_checkpoint(ckpt_path, state)
+
+    save_checkpoint(ckpt_path, state)
+    logger.finish()
+    return ckpt_path
+
+
+if __name__ == "__main__":
+    from argus_tpu.configs import cli
+
+    cfg = cli(TrainConfig)
+    start = time.time()
+    train(cfg)
+    print(f"Training took {time.time() - start:.2f} seconds.")

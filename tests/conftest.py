@@ -23,6 +23,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiling the train steps.
+jax.config.update("jax_compilation_cache_dir", "/tmp/argus_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
