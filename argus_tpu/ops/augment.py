@@ -12,13 +12,20 @@ on the TPU inside the jitted train step:
     (p=.7) -> plasma shadow (p=1) -> salt & pepper (p=.7, off by default).
 
 Design notes (TPU-first):
-  * Every transform is gated per-image with `jnp.where` (both branches compute —
-    branchless VPU code beats data-dependent control flow under XLA).
-  * Per-image convolution kernels (blur) are applied as shifted-adds, which XLA
+  * **Internal layout is channel-first (N, 3, H, W)** so the W dimension fills the
+    VPU's 128-wide lane axis. A channels-last (N, H, W, 3) elementwise graph would
+    put C=3 in the lanes and pad 3 -> 128 (a 42x memory/compute blowup — measured
+    ~1000x slower on v5e). The public API stays NHWC; one fused transpose on each
+    side converts.
+  * Every transform is gated per-image with `jnp.where` (branchless VPU code beats
+    data-dependent control flow under XLA).
+  * Per-image convolution kernels (blur) are applied as shifted adds, which XLA
     fuses into a handful of VPU loops — no gather, no per-image conv dispatch.
   * All randomness flows from an explicit `jax.random` key -> bitwise reproducible
     across hosts/devices, unlike the reference's implicit global torch RNG
     (SURVEY.md §7 "RNG semantics under DP").
+
+All per-image transforms below take images of shape (N, 3, H, W) in [0, 1].
 """
 
 from __future__ import annotations
@@ -66,19 +73,19 @@ def _uniform(key, shape, lo, hi):
     return jax.random.uniform(key, shape, minval=lo, maxval=hi)
 
 
-# ───────────────────────────── color-space helpers ─────────────────────────────
+# ───────────────────────────── color-space helpers (N, 3, H, W) ─────────────────────────────
 
 
 def _rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
-    """ITU-R 601 luma, the same weighting torchvision/kornia use."""
-    w = jnp.array([0.299, 0.587, 0.114], img.dtype)
-    return jnp.sum(img * w, axis=-1, keepdims=True)
+    """ITU-R 601 luma, the same weighting torchvision/kornia use. Keeps channel dim."""
+    w = jnp.array([0.299, 0.587, 0.114], img.dtype)[None, :, None, None]
+    return jnp.sum(img * w, axis=1, keepdims=True)
 
 
 def _rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = jnp.max(img, axis=-1)
-    minc = jnp.min(img, axis=-1)
+    r, g, b = img[:, 0], img[:, 1], img[:, 2]
+    maxc = jnp.max(img, axis=1)
+    minc = jnp.min(img, axis=1)
     v = maxc
     delta = maxc - minc
     safe_delta = jnp.where(delta == 0, 1.0, delta)
@@ -89,11 +96,11 @@ def _rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
     h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta == 0, 0.0, h)
     h = (h / 6.0) % 1.0
-    return jnp.stack([h, s, v], axis=-1)
+    return jnp.stack([h, s, v], axis=1)
 
 
 def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h, s, v = hsv[:, 0], hsv[:, 1], hsv[:, 2]
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1.0 - s)
@@ -103,7 +110,7 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     r = jnp.select([i_mod == k for k in range(6)], [v, q, p, p, t, v])
     g = jnp.select([i_mod == k for k in range(6)], [t, v, v, q, p, p])
     b = jnp.select([i_mod == k for k in range(6)], [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=1)
 
 
 # ───────────────────────────── color jiggle ─────────────────────────────
@@ -115,7 +122,7 @@ def _adjust_brightness(img, factor):
 
 
 def _adjust_contrast(img, factor):
-    mean = jnp.mean(_rgb_to_gray(img), axis=(-3, -2, -1), keepdims=True)
+    mean = jnp.mean(_rgb_to_gray(img), axis=(2, 3), keepdims=True)
     return jnp.clip(factor * img + (1.0 - factor) * mean, 0.0, 1.0)
 
 
@@ -126,27 +133,32 @@ def _adjust_saturation(img, factor):
 
 def _adjust_hue(img, shift):
     hsv = _rgb_to_hsv(img)
-    h = (hsv[..., 0:1] + shift) % 1.0
-    return jnp.clip(_hsv_to_rgb(jnp.concatenate([h, hsv[..., 1:]], axis=-1)), 0.0, 1.0)
+    h = (hsv[:, 0:1] + shift) % 1.0
+    return jnp.clip(_hsv_to_rgb(jnp.concatenate([h, hsv[:, 1:]], axis=1)), 0.0, 1.0)
 
 
 def color_jiggle(
-    key: jax.Array, images: jnp.ndarray, cfg: AugmentationConfig
+    key: jax.Array, images: jnp.ndarray, cfg: AugmentationConfig, n_cams: int = 2
 ) -> jnp.ndarray:
-    """Brightness/contrast/saturation/hue jitter in random order, shared params per
-    example across its cameras.
+    """Brightness/contrast/saturation/hue jitter in random order, with parameters
+    shared across each example's cameras (same_on_batch semantics applied
+    per-example, argus/data.py:72).
 
-    images: (B, n_cams, H, W, 3). Parameter shapes are (B, 1, 1, 1, 1)-broadcast so
-    one example's cameras see identical color params (same_on_batch semantics of the
-    reference applied per-example, argus/data.py:72).
+    images: (B*n_cams, 3, H, W); consecutive groups of n_cams share params.
     """
-    B = images.shape[0]
+    N = images.shape[0]
+    B = N // n_cams
     kb, kc, ks, kh, korder = jax.random.split(key, 5)
-    bcast = (B, 1, 1, 1, 1)
-    b = _uniform(kb, bcast, *_as_range(cfg.brightness))
-    c = _uniform(kc, bcast, *_as_range(cfg.contrast))
-    s = _uniform(ks, bcast, *_as_range(cfg.saturation))
-    h = _uniform(kh, bcast, *_as_range(cfg.hue))
+
+    def shared(k, lo, hi):
+        # one param per example, repeated across its cameras
+        p = _uniform(k, (B, 1), lo, hi)
+        return jnp.repeat(p, n_cams, axis=0)[..., None, None]  # (N, 1, 1, 1)
+
+    b = shared(kb, *_as_range(cfg.brightness))
+    c = shared(kc, *_as_range(cfg.contrast))
+    s = shared(ks, *_as_range(cfg.saturation))
+    h = shared(kh, *_as_range(cfg.hue))
 
     ops = [
         lambda im: _adjust_brightness(im, b),
@@ -179,7 +191,6 @@ def _blackbody_rgb_table(n: int = 25, t_min: float = 3000.0, t_max: float = 1500
     temps = np.linspace(t_min, t_max, n)
     table = np.zeros((n, 3))
     for i, T in enumerate(temps):
-        # spectral radiance B(lambda, T), constant factors cancel in the ratio
         radiance = 1.0 / (wavelengths**5 * (np.exp(h * c / (wavelengths * kb * T)) - 1.0))
         table[i] = radiance / radiance[1]
     return table.astype(np.float32)
@@ -189,14 +200,17 @@ _PLANCKIAN_TABLE = _blackbody_rgb_table()
 
 
 def planckian_jitter(key: jax.Array, images: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
-    """Random blackbody white-balance shift per image. images: (N, H, W, 3)."""
+    """Random blackbody white-balance shift per image. images: (N, 3, H, W)."""
     N = images.shape[0]
     kidx, kgate = jax.random.split(key)
     idx = jax.random.randint(kidx, (N,), 0, _PLANCKIAN_TABLE.shape[0])
-    gains = jnp.asarray(_PLANCKIAN_TABLE)[idx][:, None, None, :]  # (N,1,1,3)
-    jittered = jnp.clip(images * gains, 0.0, 1.0)
+    # one-hot matmul instead of a gather: tiny-table gathers lower to serialized
+    # dynamic-slices on TPU (measured ~1000x slower than this contraction)
+    onehot = jax.nn.one_hot(idx, _PLANCKIAN_TABLE.shape[0], dtype=images.dtype)
+    gains = (onehot @ jnp.asarray(_PLANCKIAN_TABLE))[:, :, None, None]  # (N, 3, 1, 1)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, jittered, images)
+    gains = jnp.where(gate, gains, 1.0)
+    return jnp.clip(images * gains, 0.0, 1.0)
 
 
 # ───────────────────────────── gaussian blur ─────────────────────────────
@@ -206,7 +220,7 @@ def planckian_jitter(key: jax.Array, images: jnp.ndarray, p: float = 0.5) -> jnp
 def _shifted_sum_1d(images: jnp.ndarray, weights: jnp.ndarray, axis: int, radius: int) -> jnp.ndarray:
     """Separable per-image 1-D convolution as shifted adds (reflect padding).
 
-    images: (N, H, W, C); weights: (N, 2*radius+1). XLA fuses the taps into one VPU
+    images: (N, 3, H, W); weights: (N, 2*radius+1). XLA fuses the taps into one VPU
     loop — far cheaper than per-image dynamic conv kernels.
     """
     pad = [(0, 0)] * images.ndim
@@ -222,14 +236,14 @@ def _shifted_sum_1d(images: jnp.ndarray, weights: jnp.ndarray, axis: int, radius
 
 
 def gaussian_blur(key: jax.Array, images: jnp.ndarray, sigma_range=(3.0, 8.0), p: float = 0.5) -> jnp.ndarray:
-    """5x5 gaussian blur with per-image sigma. images: (N, H, W, 3)."""
+    """5x5 gaussian blur with per-image sigma. images: (N, 3, H, W)."""
     N = images.shape[0]
     ksig, kgate = jax.random.split(key)
     sigma = _uniform(ksig, (N, 1), *sigma_range)
     x = jnp.arange(-2.0, 3.0)[None, :]  # (1, 5)
     w = jnp.exp(-0.5 * (x / sigma) ** 2)
     w = w / jnp.sum(w, axis=1, keepdims=True)  # (N, 5)
-    blurred = _shifted_sum_1d(_shifted_sum_1d(images, w, axis=1, radius=2), w, axis=2, radius=2)
+    blurred = _shifted_sum_1d(_shifted_sum_1d(images, w, axis=2, radius=2), w, axis=3, radius=2)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     return jnp.where(gate, blurred, images)
 
@@ -249,7 +263,8 @@ def motion_blur(
 
     The 3-tap line kernel (weights from `direction`) is rotated by `angle` and
     bilinearly splatted onto a 3x3 grid per image, then applied as 9 shifted adds.
-    images: (N, H, W, 3).
+    The splat is computed analytically (no scatter — TPU scatters serialize).
+    images: (N, 3, H, W).
     """
     N = images.shape[0]
     kang, kdir, kgate = jax.random.split(key, 3)
@@ -260,33 +275,24 @@ def motion_blur(
     w_taps = jnp.stack([(1.0 - d) / 2.0, jnp.ones_like(d), (1.0 + d) / 2.0], axis=1)
     w_taps = w_taps / jnp.sum(w_taps, axis=1, keepdims=True)  # (N, 3)
 
-    # rotate tap positions (-1, 0, +1 along x) and splat bilinearly into 3x3
+    # rotate tap positions (-1, 0, +1 along x); bilinear footprint computed densely:
+    # weight of grid cell (gy, gx) = sum_t w_t * max(0, 1-|px_t-(gx-1)|) * max(0, 1-|py_t-(gy-1)|)
     offsets = jnp.array([-1.0, 0.0, 1.0])
-    px = offsets[None, :] * jnp.cos(theta)[:, None]  # (N, 3)
+    px = offsets[None, :] * jnp.cos(theta)[:, None]  # (N, 3) tap x positions
     py = offsets[None, :] * jnp.sin(theta)[:, None]
-    kernel = jnp.zeros((N, 3, 3))
-    for t in range(3):
-        x, y, wt = px[:, t], py[:, t], w_taps[:, t]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        for dy in (0, 1):
-            for dx in (0, 1):
-                wx = jnp.where(dx == 0, 1.0 - fx, fx)
-                wy = jnp.where(dy == 0, 1.0 - fy, fy)
-                gx = jnp.clip(x0 + dx + 1, 0, 2).astype(jnp.int32)
-                gy = jnp.clip(y0 + dy + 1, 0, 2).astype(jnp.int32)
-                kernel = kernel.at[jnp.arange(N), gy, gx].add(wt * wx * wy)
+    gx = jnp.arange(-1.0, 2.0)  # grid coords
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, :, None] - gx[None, None, :]))  # (N, 3, 3gx)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, :, None] - gx[None, None, :]))  # (N, 3, 3gy)
+    kernel = jnp.einsum("nt,nty,ntx->nyx", w_taps, wy, wx)  # (N, 3, 3)
     kernel = kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)
 
     # apply 3x3 per-image kernel as shifted adds (reflect padding)
-    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    H, W = images.shape[1], images.shape[2]
+    padded = jnp.pad(images, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+    H, W = images.shape[2], images.shape[3]
     out = jnp.zeros_like(images)
     for ky in range(3):
         for kx in range(3):
-            out = out + kernel[:, ky, kx, None, None, None] * padded[:, ky : ky + H, kx : kx + W, :]
+            out = out + kernel[:, ky, kx, None, None, None] * padded[:, :, ky : ky + H, kx : kx + W]
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     return jnp.where(gate, out, images)
 
@@ -294,6 +300,26 @@ def motion_blur(
 # ───────────────────────────── plasma shadow ─────────────────────────────
 # (reference: kornia RandomPlasmaShadow(roughness=(.1,.4), shade_intensity=(-.6,0),
 #  shade_quantity=(0,.5), p=1) — argus/data.py:84-87)
+
+
+def _upsample2x(field: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample of (N, h, w) via matmul interpolation (MXU-friendly)."""
+    n, h, w = field.shape
+    # interpolation matrix (2h, h): rows select/average neighbors
+    idx = (jnp.arange(2 * h) - 0.5) / 2.0
+    lo = jnp.clip(jnp.floor(idx), 0, h - 1)
+    hi = jnp.clip(lo + 1, 0, h - 1)
+    frac = jnp.clip(idx - lo, 0.0, 1.0)
+    rows = jnp.arange(2 * h)
+    M = jnp.zeros((2 * h, h)).at[rows, lo.astype(int)].add(1 - frac).at[rows, hi.astype(int)].add(frac)
+    up_h = jnp.einsum("ij,njw->niw", M, field)
+    idxw = (jnp.arange(2 * w) - 0.5) / 2.0
+    low = jnp.clip(jnp.floor(idxw), 0, w - 1)
+    hiw = jnp.clip(low + 1, 0, w - 1)
+    fracw = jnp.clip(idxw - low, 0.0, 1.0)
+    rowsw = jnp.arange(2 * w)
+    Mw = jnp.zeros((2 * w, w)).at[rowsw, low.astype(int)].add(1 - fracw).at[rowsw, hiw.astype(int)].add(fracw)
+    return jnp.einsum("niw,kw->nik", up_h, Mw)
 
 
 def _plasma_fractal(key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray) -> jnp.ndarray:
@@ -310,7 +336,7 @@ def _plasma_fractal(key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray) -
     while size < max(H, W):
         size *= 2
         key, sub = jax.random.split(key)
-        field = jax.image.resize(field, (n, size, size), method="bilinear")
+        field = _upsample2x(field)
         field = field + amp * (jax.random.uniform(sub, (n, size, size)) - 0.5)
         amp = amp * roughness
     field = field[:, :H, :W]
@@ -327,14 +353,14 @@ def plasma_shadow(
     shade_quantity=(0.0, 0.5),
     p: float = 1.0,
 ) -> jnp.ndarray:
-    """Darken a random fractal-shaped region of each image. images: (N, H, W, 3)."""
-    N, H, W = images.shape[:3]
+    """Darken a random fractal-shaped region of each image. images: (N, 3, H, W)."""
+    N, _, H, W = images.shape
     kr, ki, kq, kf, kgate = jax.random.split(key, 5)
     rough = _uniform(kr, (N, 1, 1), *roughness)
     intensity = _uniform(ki, (N, 1, 1, 1), *shade_intensity)
     quantity = _uniform(kq, (N, 1, 1), *shade_quantity)
     plasma = _plasma_fractal(kf, N, (H, W), rough)
-    shade = jnp.where(plasma < quantity, 1.0, 0.0)[..., None] * intensity
+    shade = jnp.where(plasma < quantity, 1.0, 0.0)[:, None] * intensity
     shadowed = jnp.clip(images + shade, 0.0, 1.0)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     return jnp.where(gate, shadowed, images)
@@ -352,8 +378,8 @@ def random_erasing(
     value: float = 0.0,
     p: float = 0.5,
 ) -> jnp.ndarray:
-    """Erase one random rectangle per image with `value`. images: (N, H, W, 3)."""
-    N, H, W = images.shape[:3]
+    """Erase one random rectangle per image with `value`. images: (N, 3, H, W)."""
+    N, _, H, W = images.shape
     ks, kr, kx, ky, kgate = jax.random.split(key, 5)
     area = _uniform(ks, (N,), *scale) * H * W
     aspect = _uniform(kr, (N,), *ratio)
@@ -368,10 +394,9 @@ def random_erasing(
         & (yy < (cy + rh)[:, None, None])
         & (xx >= cx[:, None, None])
         & (xx < (cx + rw)[:, None, None])
-    )[..., None]
-    erased = jnp.where(mask, value, images)
+    )[:, None]  # (N, 1, H, W)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, erased, images)
+    return jnp.where(mask & gate, value, images)
 
 
 # ───────────────────────────── salt & pepper ─────────────────────────────
@@ -385,17 +410,16 @@ def salt_and_pepper(
     salt_vs_pepper=(0.4, 0.6),
     p: float = 0.7,
 ) -> jnp.ndarray:
-    """Set a random fraction of pixels to 0 or 1 (all channels). images: (N, H, W, 3)."""
-    N, H, W = images.shape[:3]
+    """Set a random fraction of pixels to 0 or 1 (all channels). images: (N, 3, H, W)."""
+    N, _, H, W = images.shape
     ka, ks, ku, kgate = jax.random.split(key, 4)
     amt = _uniform(ka, (N, 1, 1), *amount)
     svp = _uniform(ks, (N, 1, 1), *salt_vs_pepper)
     u = jax.random.uniform(ku, (N, H, W))
-    salt = (u < amt * svp)[..., None]
-    pepper = ((u >= amt * svp) & (u < amt))[..., None]
-    out = jnp.where(salt, 1.0, jnp.where(pepper, 0.0, images))
-    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, out, images)
+    gate = jax.random.bernoulli(kgate, p, (N, 1, 1))
+    salt = ((u < amt * svp) & gate)[:, None]
+    pepper = ((u >= amt * svp) & (u < amt) & gate)[:, None]
+    return jnp.where(salt, 1.0, jnp.where(pepper, 0.0, images))
 
 
 # ───────────────────────────── spaghetti arcs ─────────────────────────────
@@ -413,12 +437,14 @@ def spaghetti_arcs(
 
     Arcs are rendered implicitly: a pixel is on the arc when its normalized
     elliptical radius is within (stroke width)/2 of the ring and its polar angle
-    falls in the [start, end) sweep — the same visual as PIL's ImageDraw.arc without
-    any host round-trip. images: (N, H, W, 3).
+    falls inside the sweep — the same visual as PIL's ImageDraw.arc without any
+    host round-trip. One combined (N, H, W) occlusion mask is accumulated over a
+    static python loop (XLA unrolls + fuses the n_arcs iterations).
+    images: (N, 3, H, W).
     """
     if n_arcs <= 0:
         return images
-    N, H, W = images.shape[:3]
+    N, _, H, W = images.shape
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     # bbox: (x0, y0) uniform; (x1, y1) uniform in [x0, W) x [y0, H)  (PIL recipe)
     x0 = _uniform(k1, (N, n_arcs), 0.0, W)
@@ -433,24 +459,24 @@ def spaghetti_arcs(
     cy = (y0 + y1) / 2.0
     rx = jnp.maximum((x1 - x0) / 2.0, 1e-3)
     ry = jnp.maximum((y1 - y0) / 2.0, 1e-3)
+    r_min = jnp.minimum(rx, ry)
+    sweep = (a1 - a0) % 360.0
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1)
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W)
 
-    def draw_one(arc_idx, imgs):
-        # broadcast (N, 1, 1) params against the (H, W) grid
-        dx = (xx[None] - cx[:, arc_idx, None, None]) / rx[:, arc_idx, None, None]
-        dy = (yy[None] - cy[:, arc_idx, None, None]) / ry[:, arc_idx, None, None]
-        rho = jnp.sqrt(dx * dx + dy * dy)
-        r_min = jnp.minimum(rx[:, arc_idx], ry[:, arc_idx])[:, None, None]
-        on_ring = jnp.abs(rho - 1.0) * r_min < width[:, arc_idx, None, None] / 2.0
+    occluded = jnp.zeros((N, H, W), bool)
+    for i in range(n_arcs):
+        dx = (xx[None] - cx[:, i, None, None]) / rx[:, i, None, None]
+        dy = (yy[None] - cy[:, i, None, None]) / ry[:, i, None, None]
+        rho_sq = dx * dx + dy * dy
+        rho = jnp.sqrt(jnp.maximum(rho_sq, 1e-12))
+        on_ring = jnp.abs(rho - 1.0) * r_min[:, i, None, None] < width[:, i, None, None] / 2.0
         theta = jnp.rad2deg(jnp.arctan2(dy, dx)) % 360.0
-        sweep = (a1[:, arc_idx] - a0[:, arc_idx]) % 360.0
-        in_sweep = (theta - a0[:, arc_idx, None, None]) % 360.0 <= sweep[:, None, None]
-        mask = (on_ring & in_sweep)[..., None]
-        return jnp.where(mask, 0.0, imgs)
+        in_sweep = (theta - a0[:, i, None, None]) % 360.0 <= sweep[:, i, None, None]
+        occluded = occluded | (on_ring & in_sweep)
 
-    return jax.lax.fori_loop(0, n_arcs, draw_one, images)
+    return jnp.where(occluded[:, None], 0.0, images)
 
 
 # ───────────────────────────── full stack ─────────────────────────────
@@ -468,15 +494,18 @@ def apply_augmentation(
     Transform order matches the reference's AugmentationSequential construction
     (argus/data.py:52-97), with spaghetti arcs first (they happen in the dataset
     __getitem__ there). Color jiggle shares parameters across one example's cameras;
-    everything else is independent per camera image.
+    everything else is independent per camera image. Internally channel-first (see
+    module docstring).
     """
     if not train:
         return images
     B, H, W, C = images.shape
     assert C == 3 * n_cams, f"expected {3 * n_cams} channels, got {C}"
 
-    # (B, H, W, n_cams*3) -> (B*n_cams, H, W, 3)
-    per_cam = jnp.moveaxis(images.reshape(B, H, W, n_cams, 3), 3, 1).reshape(B * n_cams, H, W, 3)
+    # NHWC -> (B*n_cams, 3, H, W): one transpose in, one out; all elementwise work
+    # happens with W in the lane dimension.
+    per_cam = jnp.transpose(images.reshape(B, H, W, n_cams, 3), (0, 3, 4, 1, 2))
+    per_cam = per_cam.reshape(B * n_cams, 3, H, W)
 
     keys = jax.random.split(key, 9)
 
@@ -488,9 +517,7 @@ def apply_augmentation(
     if cfg.planckian_jitter:
         per_cam = planckian_jitter(keys[3], per_cam)
     if cfg.color_jiggle:
-        grouped = per_cam.reshape(B, n_cams, H, W, 3)
-        grouped = color_jiggle(keys[4], grouped, cfg)
-        per_cam = grouped.reshape(B * n_cams, H, W, 3)
+        per_cam = color_jiggle(keys[4], per_cam, cfg, n_cams=n_cams)
     if cfg.blur:
         per_cam = gaussian_blur(keys[5], per_cam)
     if cfg.motion_blur:
@@ -500,8 +527,9 @@ def apply_augmentation(
     if cfg.salt_and_pepper:
         per_cam = salt_and_pepper(keys[8], per_cam)
 
-    # back to (B, H, W, n_cams*3)
-    out = jnp.moveaxis(per_cam.reshape(B, n_cams, H, W, 3), 1, 3).reshape(B, H, W, n_cams * 3)
+    # (B*n_cams, 3, H, W) -> (B, H, W, n_cams*3) for the NHWC conv stack
+    out = per_cam.reshape(B, n_cams, 3, H, W)
+    out = jnp.transpose(out, (0, 3, 4, 1, 2)).reshape(B, H, W, n_cams * 3)
     return out
 
 

@@ -235,11 +235,11 @@ def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
         if cfg.val_spaghetti and n_spag > 0:
             key = jax.random.fold_in(jax.random.PRNGKey(base_seed + 1), state.step)
             B, H, W, C = images.shape
-            per_cam = jnp.moveaxis(images.reshape(B, H, W, n_cams, 3), 3, 1).reshape(
-                B * n_cams, H, W, 3
-            )
-            per_cam = spaghetti_arcs(key, per_cam, n_spag)
-            images = jnp.moveaxis(per_cam.reshape(B, n_cams, H, W, 3), 1, 3).reshape(B, H, W, C)
+            # channel-first for the VPU (see ops/augment.py layout note)
+            per_cam = jnp.transpose(images.reshape(B, H, W, n_cams, 3), (0, 3, 4, 1, 2))
+            per_cam = spaghetti_arcs(key, per_cam.reshape(B * n_cams, 3, H, W), n_spag)
+            per_cam = per_cam.reshape(B, n_cams, 3, H, W)
+            images = jnp.transpose(per_cam, (0, 3, 4, 1, 2)).reshape(B, H, W, C)
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
         )

@@ -1,0 +1,112 @@
+"""Benchmark harness: training throughput (headline) + single-frame inference latency.
+
+Protocol mirrors the reference's bench machinery with the staleness fixed
+(scripts/timing.py:12-46 — 100-trial compiled forward latency; plus the training
+throughput the reference never measured, BASELINE.md):
+
+  * training: flagship NCameraCNN (ResNet-50, bf16) full train step — u8->f32,
+    on-device augmentation, forward, geodesic loss, backward, clipped Adam — on one
+    chip; images/sec counts CAMERA images (2 per example), the unit implied by the
+    reference's input pipeline accounting.
+  * inference: jitted (1, 256, 256, 6) forward + se3_exp, p50 of 100 trials.
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline` divides by
+an estimated 1000 camera-images/sec for the torch reference on A100 (input-bound at
+batch 32 per argus/train.py:64; A100 ResNet-50-training ceilings are far higher, so
+this is a *generous* estimate of the reference's actual pipeline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+BASELINE_IMAGES_PER_SEC = 1000.0  # estimated reference A100 throughput (see docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.ops.augment import AugmentationConfig
+    from argus_tpu.train import create_train_state, make_train_step
+    from argus_tpu.geom import se3_exp
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    hw = (256, 256)
+
+    class _Cfg:
+        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet50", resnet_output_dim=1024)
+        augmentation_config = AugmentationConfig()
+        use_augmentation = True
+        amp = True  # bf16 compute
+        max_grad_norm = 1.0
+        learning_rate = 1e-4
+
+    cfg = _Cfg()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), hw)
+    train_step = make_train_step(model, cfg, base_seed=0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (batch_size, *hw, 6), dtype=np.uint8)),
+        "cube_pose": jnp.tile(jnp.array([0, 0, 0, 0, 0, 0, 1], jnp.float32), (batch_size, 1)),
+        "mask": jnp.ones((batch_size,), jnp.float32),
+    }
+
+    # ── training throughput ──
+    state, loss = train_step(state, batch)  # compile + warmup
+    state, loss = train_step(state, batch)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = train_step(state, batch)
+    jax.block_until_ready(state)  # wait for the full final update, not just the loss
+    dt = time.perf_counter() - t0
+    examples_per_sec = batch_size * n_steps / dt
+    images_per_sec = 2 * examples_per_sec  # 2 cameras per example
+
+    # ── single-frame inference latency (compiled images -> SE(3) pose) ──
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def infer(variables, images):
+        return se3_exp(model.apply(variables, images, train=False))
+
+    one = jnp.asarray(rng.integers(0, 256, (1, *hw, 6), dtype=np.uint8)).astype(jnp.float32) / 255.0
+    jax.block_until_ready(infer(variables, one))  # compile
+    lat = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        jax.block_until_ready(infer(variables, one))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+                "extras": {
+                    "examples_per_sec": round(examples_per_sec, 2),
+                    "batch_size": batch_size,
+                    "inference_p50_ms": round(p50_ms, 3),
+                    "final_train_loss": float(loss),
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,7 @@ from argus_tpu.ops import augment as A
 @pytest.fixture(scope="module")
 def imgs():
     key = jax.random.PRNGKey(0)
-    return jax.random.uniform(key, (4, 64, 64, 3))
+    return jax.random.uniform(key, (4, 3, 64, 64))
 
 
 def _check(out, ref):
@@ -22,20 +22,23 @@ def _check(out, ref):
 
 
 def test_color_jiggle(imgs):
-    grouped = imgs.reshape(2, 2, 64, 64, 3)
-    out = A.color_jiggle(jax.random.PRNGKey(1), grouped, A.AugmentationConfig())
-    _check(out, grouped)
-    assert not jnp.allclose(out, grouped)
+    out = A.color_jiggle(jax.random.PRNGKey(1), imgs, A.AugmentationConfig(), n_cams=2)
+    _check(out, imgs)
+    assert not jnp.allclose(out, imgs)
     # determinism: same key, same result
-    out2 = A.color_jiggle(jax.random.PRNGKey(1), grouped, A.AugmentationConfig())
+    out2 = A.color_jiggle(jax.random.PRNGKey(1), imgs, A.AugmentationConfig(), n_cams=2)
     assert jnp.allclose(out, out2)
+    # shared params: cameras of one example (consecutive pairs) get the same transform
+    same = jnp.stack([imgs[0], imgs[0], imgs[2], imgs[2]])
+    out3 = A.color_jiggle(jax.random.PRNGKey(3), same, A.AugmentationConfig(), n_cams=2)
+    assert jnp.allclose(out3[0], out3[1], atol=1e-6)
 
 
 def test_planckian_jitter(imgs):
     out = A.planckian_jitter(jax.random.PRNGKey(2), imgs, p=1.0)
     _check(out, imgs)
     # G channel gain is 1 in the blackbody table -> G unchanged (up to clipping)
-    assert jnp.allclose(out[..., 1], jnp.clip(imgs[..., 1], 0, 1), atol=1e-6)
+    assert jnp.allclose(out[:, 1], jnp.clip(imgs[:, 1], 0, 1), atol=1e-6)
     # p=0 -> identity
     assert jnp.allclose(A.planckian_jitter(jax.random.PRNGKey(2), imgs, p=0.0), imgs)
 
