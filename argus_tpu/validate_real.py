@@ -1,0 +1,142 @@
+"""Real-camera validation: estimate the pose from real images, re-render it in
+MuJoCo, and build side-by-side comparison figures + a GIF.
+
+Capability parity with the reference's `argus/validate_real.py:21-121`:
+  * reads a **flat** real-data HDF5 (top-level `img_stems`, no train/test groups, no
+    labels — argus/validate_real.py:58-60),
+  * per frame: decode both camera PNGs -> center-crop -> compiled pose inference ->
+    convert the predicted xyzw pose to MuJoCo's wxyz order -> write into qpos[:7] ->
+    `mj_forward` -> offscreen-render `cam1`/`cam2` with the goal body hidden ->
+    2x2 real-vs-rendered figure,
+  * stitches all frames into `real_validation.gif`.
+
+TPU-first: the estimator is ONE jitted images->SE(3) program (the <2 ms p50 target
+artifact, SURVEY.md §7.7); MuJoCo rendering stays host-side (native C engine).
+Requires the repo's MuJoCo assets (mujoco/leap/task.xml) and the `mujoco` package —
+both are host-side dependencies, gated at call time.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from argus_tpu import ROOT
+from argus_tpu.checkpoint import load_checkpoint
+from argus_tpu.data import CameraCubePoseDatasetConfig
+from argus_tpu.data.dataset import _center_crop_np, _decode_png
+from argus_tpu.geom import se3_exp, xyzxyzw_to_xyzwxyz_SE3
+from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+
+
+@dataclass
+class ValRealConfig:
+    """Real-validation config (field parity: argus/validate_real.py:21-30).
+
+    Fields:
+        model_path: checkpoint to validate.
+        dataset_config: points at the real-capture dataset directory (flat HDF5).
+        model_config: model configuration.
+        mujoco_xml: task scene with cam1/cam2 + the goal body to hide.
+    """
+
+    model_path: str
+    dataset_config: CameraCubePoseDatasetConfig
+    model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+    mujoco_xml: str = os.path.join(ROOT, "mujoco", "leap", "task.xml")
+
+
+def make_pose_estimator(model: NCameraCNN, variables: dict):
+    """Compile the single-program real-time estimator: uint8 images -> SE(3) pose
+    (xyzw). This is the control-loop artifact (reference get_pose, argus/utils.py:179)."""
+
+    @jax.jit
+    def estimate(images_u8: jax.Array) -> jax.Array:
+        images = images_u8.astype(jnp.float32) / 255.0
+        return se3_exp(model.apply(variables, images, train=False))
+
+    return estimate
+
+
+def validate_real(cfg: ValRealConfig) -> str:
+    """Run real-world validation; returns the output directory."""
+    import h5py
+    import imageio.v2 as imageio
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    try:
+        import mujoco
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("validate_real requires the `mujoco` package (host-side)") from e
+
+    # model + compiled estimator
+    model = NCameraCNN(cfg.model_config)
+    raw = load_checkpoint(cfg.model_path)
+    estimate = make_pose_estimator(model, {"params": raw["params"], "batch_stats": raw["batch_stats"]})
+
+    # MuJoCo scene for re-rendering the predicted pose
+    m = mujoco.MjModel.from_xml_path(cfg.mujoco_xml)
+    d = mujoco.MjData(m)
+    crop = cfg.dataset_config.center_crop or (256, 256)
+    renderer = mujoco.Renderer(m, *crop)
+    goal_id = d.body("goal").id
+    mujoco.mj_forward(m, d)
+
+    dataset_path = cfg.dataset_config.dataset_path
+    filename = f"{dataset_path}/{Path(dataset_path).stem}.hdf5"
+    output_dir = Path(ROOT) / f"outputs/real_validation_visuals/{Path(cfg.model_path).stem}"
+    os.makedirs(output_dir, exist_ok=True)
+
+    frames = []
+    with h5py.File(filename, "r") as f:
+        img_stems = [s.decode("utf-8") for s in f["img_stems"][()]]
+
+    for i, stem in enumerate(img_stems):
+        pair = [
+            _center_crop_np(_decode_png(f"{dataset_path}/{stem}_{sfx}.png"), crop)
+            for sfx in ("a", "b")
+        ]
+        images_u8 = jnp.asarray(np.concatenate(pair, axis=-1))[None]  # (1, H, W, 6)
+
+        pred_pose_xyzw = np.asarray(estimate(images_u8)[0])
+        pred_pose_wxyz = xyzxyzw_to_xyzwxyz_SE3(pred_pose_xyzw)
+        d.qpos[:7] = pred_pose_wxyz
+        mujoco.mj_forward(m, d)
+
+        fig = plt.figure()
+        for cam in range(2):
+            plt.subplot(2, 2, 2 * cam + 1)
+            plt.imshow(pair[cam])
+            plt.axis("off")
+
+            plt.subplot(2, 2, 2 * cam + 2)
+            m.geom_rgba[goal_id, 3] = 0  # hide the goal body during render
+            renderer.update_scene(d, camera=f"cam{cam + 1}")
+            m.geom_rgba[goal_id, 3] = 1
+            plt.imshow(renderer.render())
+            plt.axis("off")
+
+        plt.suptitle(
+            f"Pred pose {i}:\n{np.array2string(pred_pose_wxyz, precision=3, floatmode='fixed')}"
+        )
+        fig_path = output_dir / f"example_{i}.png"
+        plt.savefig(fig_path, bbox_inches="tight")
+        plt.close(fig)
+        frames.append(imageio.imread(fig_path))
+
+    imageio.mimsave(output_dir / "real_validation.gif", frames)
+    return str(output_dir)
+
+
+if __name__ == "__main__":
+    from argus_tpu.configs import cli
+
+    validate_real(cli(ValRealConfig))
