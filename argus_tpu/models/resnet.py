@@ -41,16 +41,18 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), padding=((1, 1), (1, 1)))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)))(y)
         # zero-init of the last BN scale makes each block start as identity — a
         # standard trick that speeds early training (Goyal et al. 2017).
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
 
         if residual.shape != y.shape:
-            residual = self.conv(self.filters, (1, 1), (self.strides, self.strides), name="conv_proj")(residual)
+            residual = self.conv(
+                self.filters, (1, 1), (self.strides, self.strides), padding="VALID", name="conv_proj"
+            )(residual)
             residual = self.norm(name="norm_proj")(residual)
 
         return nn.relu(y + residual)
@@ -69,20 +71,20 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1))(x)
+        y = self.conv(self.filters, (1, 1), padding="VALID")(x)
         y = self.norm()(y)
         y = nn.relu(y)
         # stride on the 3x3 (torchvision's "v1.5" placement, the variant the
         # reference's pretrained weights use)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), padding=((1, 1), (1, 1)))(y)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters * self.expansion, (1, 1))(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), padding="VALID")(y)
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
 
         if residual.shape != y.shape:
             residual = self.conv(
-                self.filters * self.expansion, (1, 1), (self.strides, self.strides), name="conv_proj"
+                self.filters * self.expansion, (1, 1), (self.strides, self.strides), padding="VALID", name="conv_proj"
             )(residual)
             residual = self.norm(name="norm_proj")(residual)
 
@@ -111,7 +113,10 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype, padding="SAME")
+        # explicit torch-style symmetric padding: flax's "SAME" pads (2,3) for
+        # stride-2 7x7/3x3 convs while torch pads (3,3)/(1,1) — a one-pixel shift
+        # that breaks imported pretrained-weight fidelity (models/torch_import.py)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = functools.partial(
             nn.BatchNorm,
             use_running_average=not train,
@@ -121,7 +126,7 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), (2, 2), name="conv_init")(x)
+        x = conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)), name="conv_init")(x)
         x = norm(name="norm_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -69,8 +69,10 @@ def _as_range(r: Range) -> Tuple[float, float]:
     return (float(r[0]), float(r[1]))
 
 
-def _uniform(key, shape, lo, hi):
-    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+def _uniform(key, shape, lo, hi, dtype=jnp.float32):
+    """Uniform params are SAMPLED in f32 (bf16 uniforms quantize the distribution)
+    then cast to the compute dtype where they mix with image data."""
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi).astype(dtype)
 
 
 # ───────────────────────────── color-space helpers (N, 3, H, W) ─────────────────────────────
@@ -152,7 +154,7 @@ def color_jiggle(
 
     def shared(k, lo, hi):
         # one param per example, repeated across its cameras
-        p = _uniform(k, (B, 1), lo, hi)
+        p = _uniform(k, (B, 1), lo, hi, images.dtype)
         return jnp.repeat(p, n_cams, axis=0)[..., None, None]  # (N, 1, 1, 1)
 
     b = shared(kb, *_as_range(cfg.brightness))
@@ -207,7 +209,8 @@ def planckian_jitter(key: jax.Array, images: jnp.ndarray, p: float = 0.5) -> jnp
     # one-hot matmul instead of a gather: tiny-table gathers lower to serialized
     # dynamic-slices on TPU (measured ~1000x slower than this contraction)
     onehot = jax.nn.one_hot(idx, _PLANCKIAN_TABLE.shape[0], dtype=images.dtype)
-    gains = (onehot @ jnp.asarray(_PLANCKIAN_TABLE))[:, :, None, None]  # (N, 3, 1, 1)
+    table = jnp.asarray(_PLANCKIAN_TABLE, dtype=images.dtype)
+    gains = (onehot @ table)[:, :, None, None]  # (N, 3, 1, 1)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     gains = jnp.where(gate, gains, 1.0)
     return jnp.clip(images * gains, 0.0, 1.0)
@@ -242,7 +245,7 @@ def gaussian_blur(key: jax.Array, images: jnp.ndarray, sigma_range=(3.0, 8.0), p
     sigma = _uniform(ksig, (N, 1), *sigma_range)
     x = jnp.arange(-2.0, 3.0)[None, :]  # (1, 5)
     w = jnp.exp(-0.5 * (x / sigma) ** 2)
-    w = w / jnp.sum(w, axis=1, keepdims=True)  # (N, 5)
+    w = (w / jnp.sum(w, axis=1, keepdims=True)).astype(images.dtype)  # (N, 5)
     blurred = _shifted_sum_1d(_shifted_sum_1d(images, w, axis=2, radius=2), w, axis=3, radius=2)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     return jnp.where(gate, blurred, images)
@@ -284,7 +287,7 @@ def motion_blur(
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, :, None] - gx[None, None, :]))  # (N, 3, 3gx)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, :, None] - gx[None, None, :]))  # (N, 3, 3gy)
     kernel = jnp.einsum("nt,nty,ntx->nyx", w_taps, wy, wx)  # (N, 3, 3)
-    kernel = kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)
+    kernel = (kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)).astype(images.dtype)
 
     # apply 3x3 per-image kernel as shifted adds (reflect padding)
     padded = jnp.pad(images, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
@@ -302,44 +305,50 @@ def motion_blur(
 #  shade_quantity=(0,.5), p=1) — argus/data.py:84-87)
 
 
-def _upsample2x(field: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear 2x upsample of (N, h, w) via matmul interpolation (MXU-friendly)."""
-    n, h, w = field.shape
-    # interpolation matrix (2h, h): rows select/average neighbors
-    idx = (jnp.arange(2 * h) - 0.5) / 2.0
-    lo = jnp.clip(jnp.floor(idx), 0, h - 1)
-    hi = jnp.clip(lo + 1, 0, h - 1)
-    frac = jnp.clip(idx - lo, 0.0, 1.0)
-    rows = jnp.arange(2 * h)
-    M = jnp.zeros((2 * h, h)).at[rows, lo.astype(int)].add(1 - frac).at[rows, hi.astype(int)].add(frac)
-    up_h = jnp.einsum("ij,njw->niw", M, field)
-    idxw = (jnp.arange(2 * w) - 0.5) / 2.0
-    low = jnp.clip(jnp.floor(idxw), 0, w - 1)
-    hiw = jnp.clip(low + 1, 0, w - 1)
-    fracw = jnp.clip(idxw - low, 0.0, 1.0)
-    rowsw = jnp.arange(2 * w)
-    Mw = jnp.zeros((2 * w, w)).at[rowsw, low.astype(int)].add(1 - fracw).at[rowsw, hiw.astype(int)].add(fracw)
-    return jnp.einsum("niw,kw->nik", up_h, Mw)
+def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix (align_corners=False semantics).
+
+    Precomputed in numpy: resizes become MXU matmuls instead of gathers."""
+    scale = in_size / out_size
+    idx = (np.arange(out_size) + 0.5) * scale - 0.5
+    lo = np.clip(np.floor(idx), 0, in_size - 1).astype(int)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = np.clip(idx - lo, 0.0, 1.0)
+    M = np.zeros((out_size, in_size), np.float32)
+    M[np.arange(out_size), lo] += 1 - frac
+    M[np.arange(out_size), hi] += frac
+    return M
 
 
-def _plasma_fractal(key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray) -> jnp.ndarray:
+def _plasma_fractal(
+    key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray, max_octave: int = 64
+) -> jnp.ndarray:
     """Multi-octave value-noise "plasma" field in [0, 1], per image.
 
     Iterative bilinear upsample + scaled noise (the spectral shape of
     diamond-square): octave i's noise amplitude is roughness^i. roughness: (n, 1, 1).
+
+    Octaves are generated only up to `max_octave` (then one bilinear resize to the
+    target): with roughness <= 0.4 the missing octaves' amplitude is < 0.4^5 ~ 1%,
+    visually irrelevant, and this keeps all noise generation + matmuls tiny.
     """
     H, W = hw
+    top = min(max_octave, max(H, W))
     size = 2
     k0, key = jax.random.split(key)
     field = jax.random.uniform(k0, (n, size, size))
     amp = roughness
-    while size < max(H, W):
+    while size < top:
         size *= 2
         key, sub = jax.random.split(key)
-        field = _upsample2x(field)
+        up = jnp.asarray(_resize_matrix(size, size // 2))
+        field = jnp.einsum("ij,njk,lk->nil", up, field, up)
         field = field + amp * (jax.random.uniform(sub, (n, size, size)) - 0.5)
         amp = amp * roughness
-    field = field[:, :H, :W]
+    if size != H or size != W:
+        Mh = jnp.asarray(_resize_matrix(H, size))
+        Mw = jnp.asarray(_resize_matrix(W, size))
+        field = jnp.einsum("ij,njk,lk->nil", Mh, field, Mw)
     fmin = jnp.min(field, axis=(1, 2), keepdims=True)
     fmax = jnp.max(field, axis=(1, 2), keepdims=True)
     return (field - fmin) / jnp.maximum(fmax - fmin, 1e-6)
@@ -361,7 +370,7 @@ def plasma_shadow(
     quantity = _uniform(kq, (N, 1, 1), *shade_quantity)
     plasma = _plasma_fractal(kf, N, (H, W), rough)
     shade = jnp.where(plasma < quantity, 1.0, 0.0)[:, None] * intensity
-    shadowed = jnp.clip(images + shade, 0.0, 1.0)
+    shadowed = jnp.clip(images + shade.astype(images.dtype), 0.0, 1.0)
     gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
     return jnp.where(gate, shadowed, images)
 
@@ -465,18 +474,27 @@ def spaghetti_arcs(
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1)
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W)
 
+    # sweep membership without atan2: pixel direction p=(dx,dy) lies inside the CCW
+    # sweep from u=(cos a0,sin a0) to v=(cos a1,sin a1) iff
+    #   sweep <= 180: cross(u,p) >= 0 AND cross(p,v) >= 0
+    #   sweep  > 180: cross(u,p) >= 0 OR  cross(p,v) >= 0
+    # (sign-only test — no normalization, no transcendentals per pixel)
+    ux, uy = jnp.cos(jnp.deg2rad(a0)), jnp.sin(jnp.deg2rad(a0))
+    vx, vy = jnp.cos(jnp.deg2rad(a1)), jnp.sin(jnp.deg2rad(a1))
+
     occluded = jnp.zeros((N, H, W), bool)
     for i in range(n_arcs):
         dx = (xx[None] - cx[:, i, None, None]) / rx[:, i, None, None]
         dy = (yy[None] - cy[:, i, None, None]) / ry[:, i, None, None]
-        rho_sq = dx * dx + dy * dy
-        rho = jnp.sqrt(jnp.maximum(rho_sq, 1e-12))
+        rho = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
         on_ring = jnp.abs(rho - 1.0) * r_min[:, i, None, None] < width[:, i, None, None] / 2.0
-        theta = jnp.rad2deg(jnp.arctan2(dy, dx)) % 360.0
-        in_sweep = (theta - a0[:, i, None, None]) % 360.0 <= sweep[:, i, None, None]
+        cu = ux[:, i, None, None] * dy - uy[:, i, None, None] * dx  # cross(u, p)
+        cv = dx * vy[:, i, None, None] - dy * vx[:, i, None, None]  # cross(p, v)
+        wide = (sweep[:, i] > 180.0)[:, None, None]
+        in_sweep = jnp.where(wide, (cu >= 0) | (cv >= 0), (cu >= 0) & (cv >= 0))
         occluded = occluded | (on_ring & in_sweep)
 
-    return jnp.where(occluded[:, None], 0.0, images)
+    return jnp.where(occluded[:, None], jnp.zeros((), images.dtype), images)
 
 
 # ───────────────────────────── full stack ─────────────────────────────

