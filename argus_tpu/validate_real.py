@@ -87,8 +87,21 @@ def validate_real(cfg: ValRealConfig) -> str:
     d = mujoco.MjData(m)
     crop = cfg.dataset_config.center_crop or (256, 256)
     renderer = mujoco.Renderer(m, *crop)
-    goal_id = d.body("goal").id
+    # all geoms of the "goal" body get alpha-hidden during renders (the reference
+    # indexes geom_rgba with the BODY id, which only works for 1-geom bodies —
+    # argus/validate_real.py:46,89; fixed here)
+    goal_body = m.body("goal")
+    goal_geoms = range(goal_body.geomadr[0], goal_body.geomadr[0] + goal_body.geomnum[0])
+    saved_alpha = {g: float(m.geom_rgba[g, 3]) for g in goal_geoms}
     mujoco.mj_forward(m, d)
+
+    def render(camera: str) -> np.ndarray:
+        for g in goal_geoms:
+            m.geom_rgba[g, 3] = 0.0
+        renderer.update_scene(d, camera=camera)
+        for g in goal_geoms:
+            m.geom_rgba[g, 3] = saved_alpha[g]
+        return renderer.render()
 
     dataset_path = cfg.dataset_config.dataset_path
     filename = f"{dataset_path}/{Path(dataset_path).stem}.hdf5"
@@ -118,10 +131,7 @@ def validate_real(cfg: ValRealConfig) -> str:
             plt.axis("off")
 
             plt.subplot(2, 2, 2 * cam + 2)
-            m.geom_rgba[goal_id, 3] = 0  # hide the goal body during render
-            renderer.update_scene(d, camera=f"cam{cam + 1}")
-            m.geom_rgba[goal_id, 3] = 1
-            plt.imshow(renderer.render())
+            plt.imshow(render(f"cam{cam + 1}"))
             plt.axis("off")
 
         plt.suptitle(
