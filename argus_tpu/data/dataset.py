@@ -122,16 +122,43 @@ class CameraCubePoseDataset:
     def __len__(self) -> int:
         return self.cube_poses.shape[0]
 
+    def image_paths(self, idx: int) -> list:
+        stem = self.img_stems[idx]
+        return [f"{self.dataset_path}/{stem}_{suffix}.png" for suffix in ("a", "b")[: self.n_cams]]
+
     def load_images(self, idx: int) -> np.ndarray:
         """Decode + crop the camera images for one example -> uint8 (H, W, 3*n_cams)."""
-        stem = self.img_stems[idx]
-        imgs = [
-            _decode_png(f"{self.dataset_path}/{stem}_{suffix}.png")
-            for suffix in ("a", "b")[: self.n_cams]
-        ]
+        imgs = [_decode_png(p) for p in self.image_paths(idx)]
         if self.center_crop and imgs[0].shape[:2] != tuple(self.center_crop):
             imgs = [_center_crop_np(im, self.center_crop) for im in imgs]
         return np.concatenate(imgs, axis=-1)
+
+    def _out_hw(self) -> tuple:
+        """Final (H, W) after cropping: the crop size, or the raw image size."""
+        if self.center_crop:
+            return tuple(self.center_crop)
+        if not hasattr(self, "_raw_hw"):
+            self._raw_hw = _decode_png(self.image_paths(0)[0]).shape[:2]
+        return self._raw_hw
+
+    def load_images_batch(self, idxs, n_threads: int = 8, pool=None) -> np.ndarray:
+        """Decode a whole batch -> uint8 (len(idxs), H, W, 3*n_cams).
+
+        Uses the native C++ libpng decoder (one call, internal thread pool —
+        argus_tpu/native) when available; falls back to per-image cv2 decode on a
+        python thread pool otherwise.
+        """
+        from argus_tpu import native
+
+        idxs = list(idxs)
+        if native.available():
+            paths = [p for i in idxs for p in self.image_paths(i)]
+            ch, cw = self._out_hw()
+            flat = native.decode_batch(paths, (ch, cw), n_threads=n_threads)
+            per_cam = flat.reshape(len(idxs), self.n_cams, ch, cw, 3)
+            return np.concatenate([per_cam[:, c] for c in range(self.n_cams)], axis=-1)
+        mapper = pool.map if pool is not None else map
+        return np.stack(list(mapper(self.load_images, idxs)))
 
     def __getitem__(self, idx: int) -> dict:
         return {
@@ -201,18 +228,20 @@ class HostDataLoader:
         return -(-per_host // self.batch_size)
 
     def _make_batch(self, idxs: np.ndarray) -> dict:
-        images = list(self._pool.map(self.dataset.load_images, idxs.tolist()))
+        images = self.dataset.load_images_batch(
+            idxs.tolist(), n_threads=self.num_workers, pool=self._pool
+        )
         n_real = len(idxs)
         pad = self.batch_size - n_real
         if pad > 0:
-            images.extend([images[0]] * pad)
+            images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)], axis=0)
         poses = self.dataset.cube_poses[idxs]
         if pad > 0:
             poses = np.concatenate([poses, np.repeat(poses[:1], pad, axis=0)], axis=0)
         mask = np.zeros((self.batch_size,), np.float32)
         mask[:n_real] = 1.0
         return {
-            "images": np.stack(images).astype(np.uint8),
+            "images": np.ascontiguousarray(images, dtype=np.uint8),
             "cube_pose": poses.astype(np.float32),
             "mask": mask,
         }
