@@ -270,6 +270,47 @@ def se3_matrix(pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation matrix -> xyzw unit quaternion (branchless Shepperd).
+
+    Computes all four candidate quaternions (one per dominant diagonal/trace case)
+    and selects the numerically best with `where` — no data-dependent control flow,
+    safe under jit/vmap.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    tr = m00 + m11 + m22
+    # four candidates, each scaled by 4*q_k^2 >= 0 + 1 (always positive pre-sqrt)
+    qw2 = 1.0 + tr
+    qx2 = 1.0 + m00 - m11 - m22
+    qy2 = 1.0 - m00 + m11 - m22
+    qz2 = 1.0 - m00 - m11 + m22
+
+    def safe_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 1e-12))
+
+    # candidate built from w-dominant case
+    w_w = safe_sqrt(qw2) / 2.0
+    cand_w = jnp.stack([(m21 - m12) / (4 * w_w), (m02 - m20) / (4 * w_w), (m10 - m01) / (4 * w_w), w_w], -1)
+    x_x = safe_sqrt(qx2) / 2.0
+    cand_x = jnp.stack([x_x, (m01 + m10) / (4 * x_x), (m02 + m20) / (4 * x_x), (m21 - m12) / (4 * x_x)], -1)
+    y_y = safe_sqrt(qy2) / 2.0
+    cand_y = jnp.stack([(m01 + m10) / (4 * y_y), y_y, (m12 + m21) / (4 * y_y), (m02 - m20) / (4 * y_y)], -1)
+    z_z = safe_sqrt(qz2) / 2.0
+    cand_z = jnp.stack([(m02 + m20) / (4 * z_z), (m12 + m21) / (4 * z_z), z_z, (m10 - m01) / (4 * z_z)], -1)
+
+    scores = jnp.stack([qx2, qy2, qz2, qw2], -1)
+    best = jnp.argmax(scores, axis=-1)[..., None]
+    q = jnp.where(
+        best == 3,
+        cand_w,
+        jnp.where(best == 0, cand_x, jnp.where(best == 1, cand_y, cand_z)),
+    )
+    return quat_canonical(quat_normalize(q))
+
+
 def random_se3(key, shape=(), stdev: float = 1.0) -> jnp.ndarray:
     """Random se(3) tangent vectors ~ N(0, stdev) (pypose `pp.randn_se3`)."""
     import jax

@@ -43,6 +43,9 @@ class NCameraCNNConfig:
     resnet_output_dim: int = 1024
     backbone: str = "resnet50"
     dtype: str = "float32"
+    # exact MXU-friendly rewrite of the stem conv (see models/resnet.py); changes
+    # the param tree (conv_init -> conv_init_s2d) but not the function computed
+    stem_space_to_depth: bool = False
 
 
 class NCameraCNN(nn.Module):
@@ -71,7 +74,10 @@ class NCameraCNN(nn.Module):
         x = jnp.moveaxis(x, 3, 1).reshape(B * cfg.n_cams, H, W, 3)
 
         backbone = BACKBONES[cfg.backbone](
-            output_dim=cfg.resnet_output_dim, dtype=dtype, name="backbone"
+            output_dim=cfg.resnet_output_dim,
+            dtype=dtype,
+            stem_space_to_depth=cfg.stem_space_to_depth,
+            name="backbone",
         )
         feats = backbone(x, train=train)  # (B * n_cams, resnet_output_dim)
 

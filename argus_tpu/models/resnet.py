@@ -28,6 +28,35 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C); channel index = (dy*b + dx)*C + c."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h // block, w // block, block * block * c)
+
+
+def conv1_kernel_to_s2d(k7: Any) -> Any:
+    """Rewrite a (7,7,Cin,Cout) stride-2 stem kernel into the equivalent
+    (4,4,4*Cin,Cout) stride-1 kernel over 2x2 space-to-depth input.
+
+    Zero-pad 7->8 with the pad row/col FIRST (so the conv window offsets become
+    [-4, 3] and padding ((2,1),(2,1)) reproduces torch's (3,3) padding exactly),
+    then split each spatial index a = 2*alpha + dy into (alpha, dy) with dy folded
+    into the input-channel axis in space_to_depth's (dy, dx, c) order.
+    """
+    import numpy as np
+
+    k7 = np.asarray(k7)
+    kh, kw, cin, cout = k7.shape
+    assert kh == 7 and kw == 7
+    k8 = np.zeros((8, 8, cin, cout), k7.dtype)
+    k8[1:, 1:] = k7
+    # (8, 8, cin, cout) -> (4, 2, 4, 2, cin, cout) -> (4, 4, 2, 2, cin, cout)
+    k = k8.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(4, 4, 4 * cin, cout)
+
+
 class BasicBlock(nn.Module):
     """3x3 + 3x3 residual block (ResNet-18/34)."""
 
@@ -110,9 +139,14 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_momentum: float = 0.9
     norm_eps: float = 1e-5
+    # MLPerf-style stem: fold a 2x2 space-to-depth into conv1, turning the 7x7/s2
+    # conv over 3 channels (MXU-hostile: C=3 pads to 8 lanes, huge spatial extent)
+    # into an EXACTLY equivalent 4x4/s1 conv over 12 channels. Pretrained torch
+    # weights are rewritten losslessly (conv1_kernel_to_s2d).
+    stem_space_to_depth: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_spatial: bool = False):
         # explicit torch-style symmetric padding: flax's "SAME" pads (2,3) for
         # stride-2 7x7/3x3 convs while torch pads (3,3)/(1,1) — a one-pixel shift
         # that breaks imported pretrained-weight fidelity (models/torch_import.py)
@@ -126,7 +160,13 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)), name="conv_init")(x)
+        if self.stem_space_to_depth:
+            x = space_to_depth(x, 2)
+            x = conv(
+                self.num_filters, (4, 4), (1, 1), padding=((2, 1), (2, 1)), name="conv_init_s2d"
+            )(x)
+        else:
+            x = conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)), name="conv_init")(x)
         x = norm(name="norm_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -141,6 +181,10 @@ class ResNet(nn.Module):
                     norm=norm,
                     name=f"stage{i}_block{j}",
                 )(x)
+
+        if return_spatial:
+            # stride-32 feature map for dense-prediction heads (keypoint variant)
+            return x.astype(jnp.float32)
 
         # global average pool == AdaptiveAvgPool2d((1,1)) (argus/models.py:55)
         x = jnp.mean(x, axis=(1, 2))

@@ -142,6 +142,14 @@ def load_torch_resnet(
 
     new_vars = jax.tree_util.tree_map(np.asarray, variables)
     params_root = new_vars["params"][backbone_scope] if backbone_scope else new_vars["params"]
+
+    # space-to-depth stem: rewrite the 7x7 conv1 kernel losslessly (models/resnet.py)
+    if "conv_init_s2d" in params_root and "conv_init" in t_params:
+        from argus_tpu.models.resnet import conv1_kernel_to_s2d
+
+        t_params["conv_init_s2d"] = {
+            "kernel": conv1_kernel_to_s2d(t_params.pop("conv_init")["kernel"])
+        }
     stats_root = (
         new_vars["batch_stats"][backbone_scope] if backbone_scope else new_vars["batch_stats"]
     )

@@ -72,3 +72,44 @@ def test_jit_forward(small_model):
     f = jax.jit(lambda v, x: model.apply(v, x))
     out = f(variables, jnp.ones((2, 64, 64, 6)))
     assert out.shape == (2, 6)
+
+
+def test_space_to_depth_stem_equivalence():
+    """The s2d stem must compute EXACTLY the standard stem's function (kernel
+    rewrite is lossless, models/resnet.py::conv1_kernel_to_s2d)."""
+    import flax.linen as nn
+    import numpy as np
+    from argus_tpu.models.resnet import conv1_kernel_to_s2d, space_to_depth
+
+    rng = np.random.default_rng(0)
+    k7 = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    std = jax.lax.conv_general_dilated(
+        x, k7, (2, 2), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    k4 = jnp.asarray(conv1_kernel_to_s2d(k7))
+    s2d = jax.lax.conv_general_dilated(
+        space_to_depth(x, 2), k4, (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert std.shape == s2d.shape == (2, 32, 32, 16)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(s2d), atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_model_forward_and_import():
+    """NCameraCNN with the s2d stem runs, and torchvision import rewrites conv1."""
+    from tests.test_torch_import import _fake_torch_resnet18_state_dict
+    from argus_tpu.models.torch_import import load_torch_resnet
+
+    cfg = NCameraCNNConfig(
+        n_cams=2, backbone="resnet18", resnet_output_dim=16, stem_space_to_depth=True
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), height=64, width=64)
+    assert "conv_init_s2d" in variables["params"]["backbone"]
+    out = model.apply(variables, jnp.ones((2, 64, 64, 6)))
+    assert out.shape == (2, 6)
+
+    sd = _fake_torch_resnet18_state_dict()
+    new_vars = load_torch_resnet(sd, variables)
+    assert new_vars["params"]["backbone"]["conv_init_s2d"]["kernel"].shape == (4, 4, 12, 64)
