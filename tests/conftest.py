@@ -12,6 +12,7 @@ import os
 # suite on the real chip through a remote-compile tunnel (~0.5 s per XLA program).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ.setdefault("MUJOCO_GL", "egl")  # headless offscreen rendering
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
