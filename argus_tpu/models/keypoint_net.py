@@ -118,6 +118,44 @@ class CubeKeypointNet(nn.Module):
         return uv.reshape(B, cfg.n_cams, k, 2), probs
 
 
+def nominal_camera_matrices(
+    height: int = 256, width: int = 256, fovy_deg: float = 52.0
+) -> jnp.ndarray:
+    """(2, 3, 4) projection matrices for the rig's nominal cameras.
+
+    Extrinsics: the CAD-nominal camera mounts (datagen.CAM1_NOMINAL/CAM2_NOMINAL,
+    Unity frame) converted to the MuJoCo world frame and oriented to look at the
+    cube (identical to the generated validation scene,
+    scripts/make_mujoco_scene.py); intrinsics from the vertical FOV. Per-sample
+    camera perturbations in the sim data act as calibration noise the keypoint
+    head must absorb — the same noise the direct-regression variant absorbs.
+    """
+    import numpy as np
+
+    from argus_tpu.datagen import CAM1_NOMINAL, CAM2_NOMINAL
+    from argus_tpu.geom import convert_pose_unity_to_mjpc
+
+    # MuJoCo-style pinhole: camera looks along -z, so K00 = -f (u right) and
+    # K11 = +f (v down) — matches scripts/mujoco_rendering.py::compute_camera_matrix
+    f = 0.5 * height / np.tan(np.deg2rad(fovy_deg) / 2.0)
+    Kmat = np.array([[-f, 0.0, (width - 1) / 2.0], [0.0, f, (height - 1) / 2.0], [0.0, 0.0, 1.0]])
+    target = np.array([0.0, 0.0, 0.05])
+    up = np.array([0.0, 0.0, 1.0])
+
+    mats = []
+    for nominal in (CAM1_NOMINAL, CAM2_NOMINAL):
+        pos = convert_pose_unity_to_mjpc(nominal[None])[0, :3]
+        z_cam = pos - target
+        z_cam = z_cam / np.linalg.norm(z_cam)
+        x_cam = np.cross(up, z_cam)
+        x_cam = x_cam / np.linalg.norm(x_cam)
+        y_cam = np.cross(z_cam, x_cam)
+        R_wc = np.stack([x_cam, y_cam, z_cam])  # world -> camera rows
+        t = -R_wc @ pos
+        mats.append(Kmat @ np.concatenate([R_wc, t[:, None]], axis=1))
+    return jnp.asarray(np.stack(mats), jnp.float32)
+
+
 # ───────────────────────────── multi-view pose fitting ─────────────────────────────
 
 

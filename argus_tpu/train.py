@@ -43,6 +43,13 @@ from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig, H
 from argus_tpu.geom import se3_exp, se3_inverse, se3_log, se3_multiply
 from argus_tpu.logging_utils import MetricsLogger, generate_run_id
 from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.models.keypoint_net import (
+    CubeKeypointNet,
+    CubeKeypointNetConfig,
+    fit_pose,
+    keypoint_loss_fn,
+    nominal_camera_matrices,
+)
 from argus_tpu.ops.augment import AugmentationConfig, apply_augmentation, spaghetti_arcs
 from argus_tpu.ops.image import u8_to_f32
 from argus_tpu.parallel import batch_sharding, global_batch, make_mesh, param_shardings
@@ -83,6 +90,10 @@ class TrainConfig:
 
     dataset_config: CameraCubePoseDatasetConfig
     model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+    # model family: "pose_cnn" (direct se(3) regression, the flagship) or
+    # "keypoint" (corner heatmaps + differentiable triangulation/Procrustes PnP)
+    model_type: str = "pose_cnn"
+    keypoint_config: CubeKeypointNetConfig = field(default_factory=CubeKeypointNetConfig)
     compile_model: bool = True
 
     # training parameters
@@ -154,18 +165,28 @@ def make_optimizer(max_grad_norm: float) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.scale_by_adam())
 
 
-def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tuple:
-    """Initialize model + optimizer state. Returns (model, state)."""
+def build_model(cfg: TrainConfig):
+    """Construct the configured model family, applying the amp dtype override."""
+    import dataclasses
+
+    model_type = getattr(cfg, "model_type", "pose_cnn")
+    if model_type == "keypoint":
+        kc = cfg.keypoint_config
+        if cfg.amp and kc.dtype != "bfloat16":
+            kc = dataclasses.replace(kc, dtype="bfloat16")
+        return CubeKeypointNet(kc), kc.n_cams
     model_cfg = cfg.model_config
     if cfg.amp and model_cfg.dtype != "bfloat16":
-        model_cfg = NCameraCNNConfig(
-            n_cams=model_cfg.n_cams,
-            resnet_output_dim=model_cfg.resnet_output_dim,
-            backbone=model_cfg.backbone,
-            dtype="bfloat16",
-        )
-    model = NCameraCNN(model_cfg)
-    dummy = jnp.zeros((1, *sample_hw, 3 * model_cfg.n_cams), jnp.float32)
+        import dataclasses as dc
+
+        model_cfg = dc.replace(model_cfg, dtype="bfloat16")
+    return NCameraCNN(model_cfg), model_cfg.n_cams
+
+
+def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tuple:
+    """Initialize model + optimizer state. Returns (model, state)."""
+    model, n_cams = build_model(cfg)
+    dummy = jnp.zeros((1, *sample_hw, 3 * n_cams), jnp.float32)
     variables = model.init(key, dummy, train=False)
     tx = make_optimizer(cfg.max_grad_norm)
     state = TrainState(
@@ -186,10 +207,18 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     forward, loss, backward, clipped Adam update — is ONE XLA program."""
     tx = make_optimizer(cfg.max_grad_norm)
     aug_cfg = cfg.augmentation_config
-    n_cams = cfg.model_config.n_cams
+    model_type = getattr(cfg, "model_type", "pose_cnn")
+    n_cams = (
+        cfg.keypoint_config.n_cams if model_type == "keypoint" else cfg.model_config.n_cams
+    )
     # under amp the whole input pipeline (convert + augment) runs in bf16: half the
     # HBM traffic for the hottest elementwise stage, and the model consumes bf16 anyway
     feed_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    if model_type == "keypoint":
+        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        cam_P = nominal_camera_matrices(*crop)
+    else:
+        cam_P = None
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
@@ -205,7 +234,11 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = geometric_loss_fn(pred, batch["cube_pose"])
+            if model_type == "keypoint":
+                uv, _ = pred
+                losses = keypoint_loss_fn(uv, batch["cube_pose"], cam_P)
+            else:
+                losses = geometric_loss_fn(pred, batch["cube_pose"])
             mask = batch["mask"]
             loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
             return loss, mutated["batch_stats"]
@@ -228,9 +261,21 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
 def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     """Jitted eval step. Returns (sum of per-sample losses, count) so the epoch mean
     is exact under padding. Spaghetti arcs are applied when cfg.val_spaghetti, which
-    is what the reference's val pipeline effectively does (argus/data.py:213)."""
-    n_cams = cfg.model_config.n_cams
+    is what the reference's val pipeline effectively does (argus/data.py:213).
+
+    For the keypoint variant the reported val metric is the GEODESIC pose error of
+    the fully-fitted pose (triangulation + Procrustes), i.e. the quantity the
+    direct-regression variant reports — the two families are comparable."""
+    model_type = getattr(cfg, "model_type", "pose_cnn")
+    n_cams = (
+        cfg.keypoint_config.n_cams if model_type == "keypoint" else cfg.model_config.n_cams
+    )
     n_spag = cfg.augmentation_config.num_spaghetti if cfg.use_augmentation else 0
+    if model_type == "keypoint":
+        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        cam_P = nominal_camera_matrices(*crop)
+    else:
+        cam_P = None
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
@@ -246,7 +291,12 @@ def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
         )
-        losses = geometric_loss_fn(pred, batch["cube_pose"])
+        if model_type == "keypoint":
+            uv, _ = pred
+            pose_pred = fit_pose(cam_P, uv)
+            losses = geometric_loss_fn(se3_log(pose_pred), batch["cube_pose"])
+        else:
+            losses = geometric_loss_fn(pred, batch["cube_pose"])
         mask = batch["mask"]
         return jnp.sum(losses * mask), jnp.sum(mask)
 

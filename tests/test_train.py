@@ -120,3 +120,23 @@ def test_train_resume(dummy_save_dir, dummy_data_path):
     cfg2 = _small_cfg(dummy_data_path, dummy_save_dir, resume_from=ckpt)
     ckpt2 = train(cfg2)
     assert int(load_checkpoint(ckpt2)["step"]) > step_before
+
+
+@pytest.mark.slow
+def test_train_keypoint_variant(dummy_save_dir, dummy_data_path):
+    """1-epoch end-to-end training of the keypoint+PnP model family."""
+    from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
+
+    cfg = _small_cfg(
+        dummy_data_path,
+        dummy_save_dir,
+        model_type="keypoint",
+        keypoint_config=CubeKeypointNetConfig(
+            n_cams=2, backbone="resnet18", head_features=32, heatmap_stride=8
+        ),
+    )
+    ckpt = train(cfg)
+    state = load_checkpoint(ckpt)
+    assert int(state["step"]) >= 1
+    leaves = jax.tree_util.tree_leaves(state["params"])
+    assert all(jnp.all(jnp.isfinite(leaf)) for leaf in leaves)
