@@ -62,6 +62,12 @@ class AugmentationConfig:
     plasma_shadow: bool = True
     salt_and_pepper: bool = False
 
+    # fuse gaussian+motion blur into ONE Pallas kernel (one HBM read/write instead
+    # of ~19 shifted-add passes; measured 1.9x faster on v5e — ops/pallas/blur.py).
+    # Uses edge instead of reflect border padding — a 2px border difference.
+    # Falls back to interpreter mode on CPU (tests) and to the XLA path when off.
+    pallas_blur: bool = True
+
 
 def _as_range(r: Range) -> Tuple[float, float]:
     if isinstance(r, (int, float)):
@@ -238,21 +244,57 @@ def _shifted_sum_1d(images: jnp.ndarray, weights: jnp.ndarray, axis: int, radius
     return out
 
 
+def _gaussian_taps(key: jax.Array, n: int, sigma_range=(3.0, 8.0), p: float = 0.5):
+    """Per-image normalized 5-tap gaussian weights (n, 5) + bernoulli gate (n,)."""
+    ksig, kgate = jax.random.split(key)
+    sigma = _uniform(ksig, (n, 1), *sigma_range)
+    x = jnp.arange(-2.0, 3.0)[None, :]  # (1, 5)
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    w = w / jnp.sum(w, axis=1, keepdims=True)  # (n, 5)
+    gate = jax.random.bernoulli(kgate, p, (n,))
+    return w, gate
+
+
 def gaussian_blur(key: jax.Array, images: jnp.ndarray, sigma_range=(3.0, 8.0), p: float = 0.5) -> jnp.ndarray:
     """5x5 gaussian blur with per-image sigma. images: (N, 3, H, W)."""
     N = images.shape[0]
-    ksig, kgate = jax.random.split(key)
-    sigma = _uniform(ksig, (N, 1), *sigma_range)
-    x = jnp.arange(-2.0, 3.0)[None, :]  # (1, 5)
-    w = jnp.exp(-0.5 * (x / sigma) ** 2)
-    w = (w / jnp.sum(w, axis=1, keepdims=True)).astype(images.dtype)  # (N, 5)
+    w, gate = _gaussian_taps(key, N, sigma_range, p)
+    w = w.astype(images.dtype)
     blurred = _shifted_sum_1d(_shifted_sum_1d(images, w, axis=2, radius=2), w, axis=3, radius=2)
-    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, blurred, images)
+    return jnp.where(gate[:, None, None, None], blurred, images)
 
 
 # ───────────────────────────── motion blur ─────────────────────────────
 # (reference: kornia RandomMotionBlur(3, 35., 0.5, p=.7) — argus/data.py:81)
+
+
+def _motion_kernel(
+    key: jax.Array, n: int, angle_deg: float = 35.0, direction: float = 0.5, p: float = 0.7
+):
+    """Per-image normalized 3x3 motion kernels (n, 3, 3) + bernoulli gate (n,).
+
+    A 3-tap line kernel (asymmetric weights from `direction`) rotated by a random
+    angle and bilinearly splatted onto the 3x3 grid — computed densely, no scatter
+    (TPU scatters serialize).
+    """
+    kang, kdir, kgate = jax.random.split(key, 3)
+    theta = jnp.deg2rad(_uniform(kang, (n,), -angle_deg, angle_deg))
+    d = _uniform(kdir, (n,), -direction, direction)
+
+    w_taps = jnp.stack([(1.0 - d) / 2.0, jnp.ones_like(d), (1.0 + d) / 2.0], axis=1)
+    w_taps = w_taps / jnp.sum(w_taps, axis=1, keepdims=True)  # (n, 3)
+
+    # weight of grid cell (gy, gx) = sum_t w_t * tri(px_t - gx) * tri(py_t - gy)
+    offsets = jnp.array([-1.0, 0.0, 1.0])
+    px = offsets[None, :] * jnp.cos(theta)[:, None]  # (n, 3) tap x positions
+    py = offsets[None, :] * jnp.sin(theta)[:, None]
+    gx = jnp.arange(-1.0, 2.0)  # grid coords
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, :, None] - gx[None, None, :]))  # (n, 3, 3)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, :, None] - gx[None, None, :]))
+    kernel = jnp.einsum("nt,nty,ntx->nyx", w_taps, wy, wx)  # (n, 3, 3)
+    kernel = kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)
+    gate = jax.random.bernoulli(kgate, p, (n,))
+    return kernel, gate
 
 
 def motion_blur(
@@ -262,32 +304,10 @@ def motion_blur(
     direction: float = 0.5,
     p: float = 0.7,
 ) -> jnp.ndarray:
-    """3-tap directional blur at a random angle with asymmetric tap weighting.
-
-    The 3-tap line kernel (weights from `direction`) is rotated by `angle` and
-    bilinearly splatted onto a 3x3 grid per image, then applied as 9 shifted adds.
-    The splat is computed analytically (no scatter — TPU scatters serialize).
-    images: (N, 3, H, W).
-    """
+    """Directional 3x3 blur at a random angle. images: (N, 3, H, W)."""
     N = images.shape[0]
-    kang, kdir, kgate = jax.random.split(key, 3)
-    theta = jnp.deg2rad(_uniform(kang, (N,), -angle_deg, angle_deg))
-    d = _uniform(kdir, (N,), -direction, direction)
-
-    # tap weights along the line: linear ramp controlled by direction, sum=1
-    w_taps = jnp.stack([(1.0 - d) / 2.0, jnp.ones_like(d), (1.0 + d) / 2.0], axis=1)
-    w_taps = w_taps / jnp.sum(w_taps, axis=1, keepdims=True)  # (N, 3)
-
-    # rotate tap positions (-1, 0, +1 along x); bilinear footprint computed densely:
-    # weight of grid cell (gy, gx) = sum_t w_t * max(0, 1-|px_t-(gx-1)|) * max(0, 1-|py_t-(gy-1)|)
-    offsets = jnp.array([-1.0, 0.0, 1.0])
-    px = offsets[None, :] * jnp.cos(theta)[:, None]  # (N, 3) tap x positions
-    py = offsets[None, :] * jnp.sin(theta)[:, None]
-    gx = jnp.arange(-1.0, 2.0)  # grid coords
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, :, None] - gx[None, None, :]))  # (N, 3, 3gx)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, :, None] - gx[None, None, :]))  # (N, 3, 3gy)
-    kernel = jnp.einsum("nt,nty,ntx->nyx", w_taps, wy, wx)  # (N, 3, 3)
-    kernel = (kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)).astype(images.dtype)
+    kernel, gate = _motion_kernel(key, N, angle_deg, direction, p)
+    kernel = kernel.astype(images.dtype)
 
     # apply 3x3 per-image kernel as shifted adds (reflect padding)
     padded = jnp.pad(images, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
@@ -296,8 +316,7 @@ def motion_blur(
     for ky in range(3):
         for kx in range(3):
             out = out + kernel[:, ky, kx, None, None, None] * padded[:, :, ky : ky + H, kx : kx + W]
-    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, out, images)
+    return jnp.where(gate[:, None, None, None], out, images)
 
 
 # ───────────────────────────── plasma shadow ─────────────────────────────
@@ -536,10 +555,19 @@ def apply_augmentation(
         per_cam = planckian_jitter(keys[3], per_cam)
     if cfg.color_jiggle:
         per_cam = color_jiggle(keys[4], per_cam, cfg, n_cams=n_cams)
-    if cfg.blur:
-        per_cam = gaussian_blur(keys[5], per_cam)
-    if cfg.motion_blur:
-        per_cam = motion_blur(keys[6], per_cam)
+    if cfg.pallas_blur and cfg.blur and cfg.motion_blur:
+        from argus_tpu.ops.pallas.blur import fused_random_blur
+
+        gw, ggate = _gaussian_taps(keys[5], B * n_cams)
+        mk, mgate = _motion_kernel(keys[6], B * n_cams)
+        gates = jnp.stack([ggate, mgate], axis=1)
+        interpret = jax.default_backend() == "cpu"
+        per_cam = fused_random_blur(per_cam, gw, mk, gates, interpret=interpret)
+    else:
+        if cfg.blur:
+            per_cam = gaussian_blur(keys[5], per_cam)
+        if cfg.motion_blur:
+            per_cam = motion_blur(keys[6], per_cam)
     if cfg.plasma_shadow:
         per_cam = plasma_shadow(keys[7], per_cam)
     if cfg.salt_and_pepper:

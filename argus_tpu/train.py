@@ -105,6 +105,9 @@ class TrainConfig:
 
     # parallelism / speed
     multigpu: bool = False
+    # number of chips to use when multigpu (None = all local devices; the reference's
+    # `num_gpus`, argus/train.py:69)
+    num_chips: Optional[int] = None
     num_model_shards: int = 1
     amp: bool = False
     num_workers: int = 16
@@ -347,9 +350,10 @@ def initialize_training(cfg: TrainConfig):
     """
     process_index, process_count = jax.process_index(), jax.process_count()
 
-    # mesh: all local devices when multigpu, else a single device
+    # mesh: all (or num_chips) devices when multigpu, else a single device
     if cfg.multigpu:
-        mesh = make_mesh(n_model=cfg.num_model_shards)
+        devices = jax.devices()[: cfg.num_chips] if cfg.num_chips else None
+        mesh = make_mesh(n_model=cfg.num_model_shards, devices=devices)
     else:
         mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
     n_data = mesh.shape["data"]
