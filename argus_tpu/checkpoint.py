@@ -48,6 +48,21 @@ def save_checkpoint(path: str, tree: Any) -> str:
     return path
 
 
+def find_latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Most recently written .ckpt under `save_dir`, or None.
+
+    Simple failure-recovery affordance the reference lacks (SURVEY.md §5 "Failure
+    detection / elastic recovery: None"): on preemption/crash, point
+    `TrainConfig.resume_from` here and training continues from the full saved state.
+    """
+    import glob
+
+    candidates = glob.glob(os.path.join(save_dir, "*.ckpt"))
+    if not candidates:
+        return None
+    return max(candidates, key=os.path.getmtime)
+
+
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Load a checkpoint. With `target`, restores into its structure (validating
     shapes); without, returns the raw nested-dict pytree."""
