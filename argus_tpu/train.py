@@ -427,19 +427,37 @@ def train(cfg: TrainConfig) -> str:
     ckpt_path = str(Path(cfg.save_dir) / f"{run_id}.ckpt")
 
     lr = float(cfg.learning_rate)
+    global_step = int(jax.device_get(state.step))
     for epoch in tqdm(range(cfg.n_epochs), desc="Epoch", disable=(rank != 0)):
         setup["train_loader"].set_epoch(epoch)
 
         # ── train ──
+        # keep per-step losses on device and fetch in blocks: a float() per step is
+        # a host sync that stalls the dispatch pipeline (expensive through remote
+        # tunnels); per-step logs still get written with their true step numbers.
         epoch_losses = []
+        pending = []
+
+        def flush_pending():
+            nonlocal global_step
+            if not pending:
+                return
+            vals = np.asarray(jax.device_get(jnp.stack(pending)))
+            for v in vals:
+                epoch_losses.append(float(v))
+                logger.log({"loss": float(v)}, step=global_step)
+                global_step += 1
+            pending.clear()
+
         for batch in tqdm(
             setup["train_loader"], desc="Iterations", leave=False, disable=(rank != 0)
         ):
             device_batch = global_batch(mesh, batch)
             state, loss = train_step(state, device_batch)
-            loss_val = float(loss)
-            epoch_losses.append(loss_val)
-            logger.log({"loss": loss_val})
+            pending.append(loss)
+            if len(pending) >= 50:
+                flush_pending()
+        flush_pending()
 
         if epoch % cfg.print_epochs == 0:
             rank_print(f"    Avg. Loss in Epoch: {np.mean(epoch_losses):.6f}", rank)
@@ -452,7 +470,7 @@ def train(cfg: TrainConfig) -> str:
                 total += float(s)
                 count += float(c)
             val_loss = total / max(count, 1.0)
-            logger.log({"val_loss": val_loss})
+            logger.log({"val_loss": val_loss}, step=global_step)
             rank_print(f"    Validation loss: {val_loss:.6f}", rank)
             new_lr = scheduler.step(val_loss, lr)
             if new_lr != lr:
