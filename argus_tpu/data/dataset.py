@@ -129,17 +129,28 @@ class CameraCubePoseDataset:
     def load_images(self, idx: int) -> np.ndarray:
         """Decode + crop the camera images for one example -> uint8 (H, W, 3*n_cams)."""
         imgs = [_decode_png(p) for p in self.image_paths(idx)]
-        if self.center_crop and imgs[0].shape[:2] != tuple(self.center_crop):
-            imgs = [_center_crop_np(im, self.center_crop) for im in imgs]
+        h, w = imgs[0].shape[:2]
+        if self.center_crop and (h, w) != tuple(self.center_crop):
+            ch, cw = self.center_crop
+            if h >= ch and w >= cw:  # never "crop" smaller images up
+                imgs = [_center_crop_np(im, self.center_crop) for im in imgs]
         return np.concatenate(imgs, axis=-1)
 
-    def _out_hw(self) -> tuple:
-        """Final (H, W) after cropping: the crop size, or the raw image size."""
-        if self.center_crop:
-            return tuple(self.center_crop)
+    def _raw_size(self) -> tuple:
         if not hasattr(self, "_raw_hw"):
             self._raw_hw = _decode_png(self.image_paths(0)[0]).shape[:2]
         return self._raw_hw
+
+    def _out_hw(self) -> tuple:
+        """Final (H, W) after cropping: the crop size when the raw images are at
+        least that large, else the raw size (crop is a no-op then)."""
+        if self.center_crop:
+            raw_h, raw_w = self._raw_size()
+            ch, cw = self.center_crop
+            if raw_h >= ch and raw_w >= cw:
+                return (ch, cw)
+            return (raw_h, raw_w)
+        return self._raw_size()
 
     def load_images_batch(self, idxs, n_threads: int = 8, pool=None) -> np.ndarray:
         """Decode a whole batch -> uint8 (len(idxs), H, W, 3*n_cams).
