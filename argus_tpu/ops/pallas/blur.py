@@ -41,29 +41,30 @@ def _pad_edge(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate(first + [x] + last, axis=axis)
 
 
-def _blur_kernel(img_ref, gw_ref, mk_ref, gate_ref, out_ref):
-    """One image: (1, 3, H, W) VMEM block. The small per-image weight arrays live
-    WHOLE in SMEM (gw: (N, 5), mk: (N, 3, 3), gate: (N, 2)) and are indexed by
-    program id — SMEM blocks must tile to (8, 128) otherwise."""
+def _blur_kernel(img_ref, w_ref, out_ref):
+    """One image: (1, 3, H, W) VMEM block. All per-image scalars ride in ONE packed
+    SMEM array w: (N, 16) = [gauss taps 0:5 | motion 3x3 row-major 5:14 | gates
+    14:16], indexed by program id. (Separate SMEM arrays pad every trailing dim to
+    128 lanes — three of them overflow the 1 MB SMEM budget at N~384.)"""
     i = pl.program_id(0)
     x = img_ref[0]  # (3, H, W)
     H, W = x.shape[1], x.shape[2]
     dt = x.dtype
 
     # SMEM scalars stay f32 (Mosaic has no bf16 scalar ALU); cast at the vector op
-    def w(ref, *idx):
-        return ref[idx].astype(dt)
+    def w(k):
+        return w_ref[i, k].astype(dt)
 
     # ── separable 5-tap gaussian (rows then cols) ──
     xp = _pad_edge(x, 2, axis=1)  # (3, H+4, W)
     g = jnp.zeros_like(x)
     for k in range(5):
-        g = g + w(gw_ref, i, k) * xp[:, k : k + H, :]
+        g = g + w(k) * xp[:, k : k + H, :]
     gp = _pad_edge(g, 2, axis=2)  # (3, H, W+4)
     g2 = jnp.zeros_like(x)
     for k in range(5):
-        g2 = g2 + w(gw_ref, i, k) * gp[:, :, k : k + W]
-    ggate = gate_ref[i, 0]  # f32 scalar
+        g2 = g2 + w(k) * gp[:, :, k : k + W]
+    ggate = w_ref[i, 14]  # f32 scalar
     g2 = ggate.astype(dt) * g2 + (1.0 - ggate).astype(dt) * x
 
     # ── 3x3 motion kernel on the (possibly) gaussian-blurred image ──
@@ -71,8 +72,8 @@ def _blur_kernel(img_ref, gw_ref, mk_ref, gate_ref, out_ref):
     m = jnp.zeros_like(x)
     for ky in range(3):
         for kx in range(3):
-            m = m + w(mk_ref, i, ky, kx) * mp[:, ky : ky + H, kx : kx + W]
-    mgate = gate_ref[i, 1]  # f32 scalar
+            m = m + w(5 + 3 * ky + kx) * mp[:, ky : ky + H, kx : kx + W]
+    mgate = w_ref[i, 15]  # f32 scalar
     out_ref[0] = mgate.astype(dt) * m + (1.0 - mgate).astype(dt) * g2
 
 
@@ -95,24 +96,26 @@ def fused_random_blur(
     """
     N, C, H, W = images.shape
     dtype = images.dtype
+    # pack all per-image scalars into one SMEM array: (N, 16) f32 ~ N*64 bytes
+    packed = jnp.concatenate(
+        [
+            gauss_w.astype(jnp.float32),
+            motion_k.reshape(N, 9).astype(jnp.float32),
+            gates.astype(jnp.float32),
+        ],
+        axis=1,
+    )
     return pl.pallas_call(
         _blur_kernel,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gw whole (N, 5)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mk whole (N, 3, 3)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gates whole (N, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed per-image scalars (N, 16)
         ],
         out_specs=pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, C, H, W), dtype),
         interpret=interpret,
-    )(
-        images,
-        gauss_w.astype(jnp.float32),
-        motion_k.astype(jnp.float32),
-        gates.astype(jnp.float32),
-    )
+    )(images, packed)
 
 
 def reference_blur(images, gauss_w, motion_k, gates):
