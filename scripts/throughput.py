@@ -99,6 +99,12 @@ def main(cfg: ThroughputConfig) -> dict:
     float(loss)
     e2e_rate = n_done / (time.perf_counter() - t0)
     print(f"end-to-end: {e2e_rate:.1f} examples/s ({2 * e2e_rate:.1f} cam-imgs/s)")
+    mb_per_batch = cfg.batch_size * cfg.height * cfg.width * 6 / 1e6
+    print(
+        f"note: host->device moves {mb_per_batch:.1f} MB/batch (uint8). Under this "
+        f"harness's remote-TPU tunnel (~20 MB/s) the transfer dominates; on local "
+        f"TPU hosts (PCIe, GB/s) the loader/device rates above are the bottlenecks."
+    )
     return {"loader_examples_per_sec": loader_rate, "e2e_examples_per_sec": e2e_rate}
 
 

@@ -1,0 +1,123 @@
+"""Mesh/sharding tests: TP rules actually shard, DP batches actually split, and
+the graft dryrun path stays healthy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from argus_tpu.parallel import batch_sharding, global_batch, make_mesh, param_shardings, replicated
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    assert mesh1.shape == {"data": 1, "model": 1}
+
+
+def test_tp_rules_shard_wide_layers():
+    from argus_tpu.models.pose_cnn import NCameraCNNConfig, init_model
+
+    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=64)
+    _, variables = init_model(cfg, jax.random.PRNGKey(0), height=32, width=32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = param_shardings(variables["params"], mesh)
+
+    fc = shardings["backbone"]["fc"]["kernel"]
+    assert fc.spec == P(None, "model")
+    head = shardings["head_fc1"]["kernel"]
+    assert head.spec == P("model", None)
+    # conv kernels replicate
+    conv = shardings["backbone"]["conv_init"]["kernel"]
+    assert conv.spec == P()
+    # with model axis 1, everything replicates
+    mesh1 = make_mesh(n_data=8, n_model=1)
+    shardings1 = param_shardings(variables["params"], mesh1)
+    assert shardings1["backbone"]["fc"]["kernel"].spec == P()
+
+
+def test_batch_actually_splits_over_data_axis():
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = {"x": np.arange(16 * 4, dtype=np.float32).reshape(16, 4)}
+    global_b = global_batch(mesh, batch)
+    x = global_b["x"]
+    assert x.shape == (16, 4)
+    # 8 shards of 2 rows each
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(x), batch["x"])
+
+
+def test_replicated_and_batch_sharding_specs():
+    mesh = make_mesh()
+    assert replicated(mesh).spec == P()
+    assert batch_sharding(mesh).spec == P("data")
+
+
+def test_dp_grads_match_single_device():
+    """The sharded train step must produce the same numbers as 1-device execution
+    (XLA-inserted psum == explicit gradient averaging)."""
+    from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.ops.augment import AugmentationConfig
+    from argus_tpu.train import TrainState, create_train_state, make_train_step
+    from argus_tpu.parallel import param_shardings as ps
+
+    class _Cfg:
+        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+        model_type = "pose_cnn"
+        augmentation_config = AugmentationConfig(num_spaghetti=0)
+        use_augmentation = False  # isolate the numeric comparison from RNG layouts
+        amp = False
+        max_grad_norm = 1.0
+        learning_rate = 1e-3
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.integers(0, 256, (8, 32, 32, 6), dtype=np.uint8),
+        "cube_pose": np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (8, 1)),
+        "mask": np.ones((8,), np.float32),
+    }
+
+    from argus_tpu.train import geometric_loss_fn
+
+    losses = {}
+    grads = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_data=n_dev, n_model=1, devices=jax.devices()[:n_dev])
+        model, state = create_train_state(_Cfg(), jax.random.PRNGKey(0), (32, 32))
+        state = jax.device_put(
+            state,
+            TrainState(
+                step=ps(state.step, mesh),
+                params=ps(state.params, mesh),
+                batch_stats=ps(state.batch_stats, mesh),
+                opt_state=ps(state.opt_state, mesh),
+                lr=ps(state.lr, mesh),
+            ),
+        )
+
+        @jax.jit
+        def loss_and_grad(state, b):
+            def f(params):
+                pred, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    b["images"].astype(jnp.float32) / 255.0,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean(geometric_loss_fn(pred, b["cube_pose"]))
+
+            return jax.value_and_grad(f)(state.params)
+
+        loss, g = loss_and_grad(state, global_batch(mesh, batch))
+        losses[n_dev] = float(loss)
+        grads[n_dev] = jax.device_get(g)
+
+    # XLA-inserted psum over the data axis == single-device gradient, up to f32
+    # reduction-order noise (rtol is meaningless for near-zero gradient entries)
+    assert np.isclose(losses[1], losses[8], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[1]), jax.tree_util.tree_leaves(grads[8])):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
