@@ -120,4 +120,4 @@ def test_dp_grads_match_single_device():
     # reduction-order noise (rtol is meaningless for near-zero gradient entries)
     assert np.isclose(losses[1], losses[8], rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(grads[1]), jax.tree_util.tree_leaves(grads[8])):
-        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
