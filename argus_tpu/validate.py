@@ -103,7 +103,20 @@ def validate(cfg: ValConfig) -> dict:
     @jax.jit
     def infer(variables, images_u8, pose_true, key):
         images = u8_to_f32(images_u8)
-        images = apply_augmentation(cfg.aug_config, key, images, n_cams=n_cams, train=cfg.use_train)
+        if cfg.use_train:
+            images = apply_augmentation(cfg.aug_config, key, images, n_cams=n_cams, train=True)
+        elif cfg.aug_config.num_spaghetti > 0:
+            # reference behavior: spaghetti arcs apply to the val split too (the
+            # dataset draws them regardless of the train flag, argus/data.py:213)
+            from argus_tpu.ops.augment import spaghetti_arcs
+
+            B, H, W, C = images.shape
+            per_cam = jnp.transpose(images.reshape(B, H, W, n_cams, 3), (0, 3, 4, 1, 2))
+            per_cam = spaghetti_arcs(
+                key, per_cam.reshape(B * n_cams, 3, H, W), cfg.aug_config.num_spaghetti
+            )
+            per_cam = per_cam.reshape(B, n_cams, 3, H, W)
+            images = jnp.transpose(per_cam, (0, 3, 4, 1, 2)).reshape(B, H, W, C)
         pred_se3 = model.apply(variables, images, train=False)
         loss = geometric_loss_fn(pred_se3, pose_true)
         return images, se3_exp(pred_se3), loss

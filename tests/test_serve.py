@@ -1,0 +1,38 @@
+"""Serving-path tests: Estimator load/compile/predict."""
+
+import jax
+import numpy as np
+
+from argus_tpu.checkpoint import save_checkpoint
+from argus_tpu.models import NCameraCNNConfig
+from argus_tpu.serve import Estimator
+from argus_tpu.train import create_train_state
+
+
+def test_estimator_predicts(tmp_path):
+    class _Cfg:
+        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+        amp = False
+        max_grad_norm = 1.0
+        learning_rate = 1e-4
+
+    _, state = create_train_state(_Cfg(), jax.random.PRNGKey(0), (64, 64))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, state)
+
+    est = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64)
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, (1, 64, 64, 6), dtype=np.uint8)
+    pose = est.predict(batch)
+    assert pose.shape == (1, 7)
+    assert np.allclose(np.linalg.norm(pose[:, 3:], axis=-1), 1.0, atol=1e-5)
+
+    # wxyz reorder for MuJoCo qpos
+    pose_w = est.predict(batch, wxyz=True)
+    assert np.allclose(pose_w[0, 3], pose[0, 6])
+
+    # per-frame convenience API
+    f1 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    single = est.predict_frames([f1, f2])
+    assert single.shape == (7,)
