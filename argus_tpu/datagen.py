@@ -267,9 +267,15 @@ def _save_crop_png(img_chw: np.ndarray, path: Path, crop_hw: Optional[Tuple[int,
     img.save(path)
 
 
+def _make_action_tuple(continuous: np.ndarray):
+    """Wrap an action array for the ML-Agents API (injectable for tests)."""
+    from mlagents_envs.base_env import ActionTuple
+
+    return ActionTuple(continuous=continuous)
+
+
 def generate_data(cfg: GenerateDataConfig) -> None:
     """Main data generation loop (reference: argus/data_generation.py:202-346)."""
-    from mlagents_envs.base_env import ActionTuple
     from tqdm import tqdm
 
     rng = np.random.default_rng(cfg.seed)
@@ -308,7 +314,7 @@ def generate_data(cfg: GenerateDataConfig) -> None:
             cfg.cam_rgb_range, rng, action_size,
         )
 
-        env.set_actions(behavior_name, ActionTuple(continuous=action))
+        env.set_actions(behavior_name, _make_action_tuple(action))
         env.step()
         decision_steps, _ = env.get_steps(behavior_name)
         cam1_obs = decision_steps.obs[0]  # (n_agents, 3, H, W)

@@ -91,3 +91,92 @@ def test_hdf5_writer_roundtrip(tmp_path, dummy_json_path):
 def test_unity_setup_requires_exe(tmp_path):
     with pytest.raises((FileNotFoundError, ImportError)):
         datagen.unity_setup(str(tmp_path / "missing.x86_64"))
+
+
+class _FakeUnityEnv:
+    """Deterministic stand-in for the Unity render server: observation pixels are a
+    function of the commanded cube pose, so the test can verify the action->render
+    wiring (the real contract is docs/unity_contract.md)."""
+
+    def __init__(self, n_agents, hw=(48, 64)):
+        self.n_agents = n_agents
+        self.hw = hw
+        self._last_action = None
+
+    def reset(self):
+        pass
+
+    def set_actions(self, behavior, action):
+        self._last_action = np.asarray(action)
+
+    def step(self):
+        pass
+
+    def get_steps(self, behavior):
+        H, W = self.hw
+        cube = self._last_action[:, 20:27]  # cube pose slice of the action
+        shade = (np.abs(cube[:, 0]) % 1.0)[:, None, None, None]
+        obs1 = np.broadcast_to(shade, (self.n_agents, 3, H, W)).astype(np.float32)
+        obs2 = 1.0 - obs1
+
+        class Steps:
+            obs = [obs1, obs2]
+
+        return Steps(), None
+
+    def close(self):
+        pass
+
+
+def test_generate_data_full_loop(tmp_path, dummy_json_path, monkeypatch):
+    """Full generate_data run against the fake renderer: HDF5 schema + PNG files +
+    pose round-trip (the reference's Unity e2e test, tests/test_data_generation.py,
+    auto-skips without an executable; this covers the same loop hermetically)."""
+    import h5py
+    from PIL import Image
+
+    fake_exe = tmp_path / "fake_env.x86_64"
+    fake_exe.write_bytes(b"")
+
+    envs = {}
+
+    def fake_unity_setup(path, n_agents=1, time_scale=20.0):
+        envs["env"] = _FakeUnityEnv(n_agents)
+        return envs["env"], "CubeBehavior", datagen.ACTION_SIZE
+
+    monkeypatch.setattr(datagen, "unity_setup", fake_unity_setup)
+    monkeypatch.setattr(datagen, "_make_action_tuple", lambda c: c)
+
+    out = tmp_path / "generated"
+    cfg = datagen.GenerateDataConfig(
+        env_exe_path=str(fake_exe),
+        mjpc_data_path=dummy_json_path,
+        output_data_path=str(out),
+        n_agents=2,
+        center_crop=(32, 32),
+        train_frac=0.8,
+        seed=0,
+    )
+    datagen.generate_data(cfg)
+
+    with h5py.File(out / "generated.hdf5", "r") as f:
+        assert f.attrs["n_cams"] == 2
+        assert f.attrs["H"] == 32 and f.attrs["W"] == 32
+        n_train = f["train"]["cube_poses"].shape[0]
+        n_test = f["test"]["cube_poses"].shape[0]
+        assert n_train + n_test == 10
+        stems = [s.decode() for s in f["train"]["img_stems"][()]]
+        poses = f["train"]["cube_poses"][()]
+
+    # every indexed image exists, cropped, and each agent's render differs
+    for stem in stems:
+        for sfx in ("a", "b"):
+            img = Image.open(out / f"{stem}_{sfx}.png")
+            assert img.size == (32, 32)
+    # stored poses round-trip the MJPC->Unity->MJPC conversion of the source states
+    src, _ = datagen.load_mjpc_states(dummy_json_path)
+    roundtrip = convert_pose_unity_to_mjpc(convert_pose_mjpc_to_unity(src))
+    all_stored = np.sort(poses, axis=0)
+    assert np.allclose(
+        all_stored, np.sort(roundtrip[[int(s.split("img")[-1]) for s in stems]], axis=0), atol=1e-6
+    )
