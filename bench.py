@@ -30,6 +30,14 @@ BASELINE_IMAGES_PER_SEC = 1000.0  # estimated reference A100 throughput (see doc
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute remote
+    # compiles (harmless no-op if the backend doesn't support it)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/argus_tpu_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from argus_tpu.models import NCameraCNNConfig
