@@ -144,6 +144,9 @@ class ResNet(nn.Module):
     # into an EXACTLY equivalent 4x4/s1 conv over 12 channels. Pretrained torch
     # weights are rewritten losslessly (conv1_kernel_to_s2d).
     stem_space_to_depth: bool = False
+    # rematerialize residual blocks in the backward pass: trades FLOPs for HBM
+    # traffic (the step is BN-reduction/HBM-bound, see CLAUDE.md profile)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -171,10 +174,11 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     filters=self.num_filters * 2**i,
                     strides=strides,
                     conv=conv,

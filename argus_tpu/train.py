@@ -52,7 +52,7 @@ from argus_tpu.models.keypoint_net import (
 )
 from argus_tpu.ops.augment import AugmentationConfig, apply_augmentation, spaghetti_arcs
 from argus_tpu.ops.image import u8_to_f32
-from argus_tpu.parallel import batch_sharding, global_batch, make_mesh, param_shardings
+from argus_tpu.parallel import global_batch, make_mesh, param_shardings
 
 
 # ───────────────────────────── config ─────────────────────────────

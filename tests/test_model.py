@@ -113,3 +113,26 @@ def test_s2d_model_forward_and_import():
     sd = _fake_torch_resnet18_state_dict()
     new_vars = load_torch_resnet(sd, variables)
     assert new_vars["params"]["backbone"]["conv_init_s2d"]["kernel"].shape == (4, 4, 12, 64)
+
+
+def test_remat_matches_no_remat():
+    """nn.remat'ed blocks must be numerically identical (memory option only)."""
+    from argus_tpu.models.resnet import resnet18
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    results = []
+    for remat in (False, True):
+        m = resnet18(output_dim=8, remat=remat)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(p):
+            o, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x, train=True, mutable=["batch_stats"]
+            )
+            return jnp.sum(o**2)
+
+        g = jax.grad(loss)(v["params"])
+        results.append((float(loss(v["params"])), jax.tree_util.tree_leaves(g)))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    for a, b in zip(results[0][1], results[1][1]):
+        assert jnp.allclose(a, b, atol=1e-5)
