@@ -123,3 +123,41 @@ def test_color_jiggle_shared_across_cams():
     out = A.apply_augmentation(cfg, jax.random.PRNGKey(12), both, n_cams=2)
     # identical inputs + identical params => identical outputs per camera
     np.testing.assert_allclose(out[..., :3], out[..., 3:], rtol=1e-5)
+
+
+def test_blur_sigma_monotonic():
+    """Bigger sigma must smooth more (variance ordering)."""
+    imgs = jax.random.uniform(jax.random.PRNGKey(20), (2, 3, 64, 64))
+    small = A.gaussian_blur(jax.random.PRNGKey(21), imgs, sigma_range=(0.5, 0.5), p=1.0)
+    big = A.gaussian_blur(jax.random.PRNGKey(21), imgs, sigma_range=(8.0, 8.0), p=1.0)
+    assert jnp.var(big) < jnp.var(small) < jnp.var(imgs)
+
+
+def test_plasma_quantity_controls_coverage():
+    """More shade_quantity -> more darkened pixels."""
+    imgs = jnp.ones((4, 3, 64, 64)) * 0.8
+    lo = A.plasma_shadow(jax.random.PRNGKey(22), imgs, shade_quantity=(0.05, 0.05), p=1.0)
+    hi = A.plasma_shadow(jax.random.PRNGKey(22), imgs, shade_quantity=(0.8, 0.8), p=1.0)
+    assert jnp.mean(hi) < jnp.mean(lo) <= jnp.mean(imgs) + 1e-6
+
+
+def test_gate_probabilities_respected():
+    """p controls the fraction of images transformed (statistical check)."""
+    imgs = jax.random.uniform(jax.random.PRNGKey(23), (256, 3, 8, 8))
+    out = A.gaussian_blur(jax.random.PRNGKey(24), imgs, p=0.5)
+    changed = jnp.any(jnp.abs(out - imgs) > 1e-7, axis=(1, 2, 3))
+    frac = float(jnp.mean(changed.astype(jnp.float32)))
+    assert 0.35 < frac < 0.65  # ~Binomial(256, .5)
+
+
+def test_brightness_range_respected():
+    """ColorJiggle brightness in (0.8, 1.0) can only darken (pre-clip)."""
+    cfg = A.AugmentationConfig(
+        color_jiggle=True, planckian_jitter=False, blur=False, motion_blur=False,
+        plasma_shadow=False, num_spaghetti=0,
+        contrast=(1.0, 1.0), saturation=(1.0, 1.0), hue=(0.0, 0.0),
+    )
+    imgs = jnp.full((2, 32, 32, 6), 0.5)
+    out = A.apply_augmentation(cfg, jax.random.PRNGKey(25), imgs, n_cams=2)
+    assert jnp.all(out <= imgs + 1e-6)
+    assert jnp.all(out >= 0.8 * imgs - 1e-6)

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from argus_tpu.ops import augment as A
 from argus_tpu.ops.augment import AugmentationConfig, _gaussian_taps, _motion_kernel, apply_augmentation
 from argus_tpu.ops.pallas.blur import fused_random_blur, reference_blur
 
@@ -45,3 +46,24 @@ def test_full_stack_with_pallas_blur():
     assert out.shape == images.shape
     assert jnp.all(jnp.isfinite(out))
     assert jnp.all(out >= 0) and jnp.all(out <= 1)
+
+
+def test_pallas_path_matches_xla_path_interior():
+    """With identical keys, the pallas and XLA stacks draw identical blur params;
+    outputs may differ only near borders (edge vs reflect padding)."""
+    key = jax.random.PRNGKey(7)
+    images = jax.random.uniform(jax.random.PRNGKey(8), (2, 32, 32, 6))
+    outs = {}
+    for pb in (False, True):
+        cfg = A.AugmentationConfig(
+            pallas_blur=pb,
+            num_spaghetti=0,
+            planckian_jitter=False,
+            color_jiggle=False,
+            plasma_shadow=False,
+        )
+        outs[pb] = A.apply_augmentation(cfg, key, images, n_cams=2, train=True)
+    interior = (slice(None), slice(4, -4), slice(4, -4), slice(None))
+    np.testing.assert_allclose(
+        np.asarray(outs[True][interior]), np.asarray(outs[False][interior]), atol=1e-5
+    )
