@@ -31,6 +31,23 @@ def _random_wxyz_poses(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.concatenate([trans, quat_wxyz], axis=-1)
 
 
+def _render_pose_encoded(pose_wxyz: np.ndarray, height: int, width: int, cam: int) -> np.ndarray:
+    """Render an image whose content is a FUNCTION of the pose: a colored square
+    whose position encodes (x, y) and whose size encodes z, viewed with a
+    per-camera parallax shift. A regressor can learn the translation from these —
+    used to demonstrate end-to-end learning without Unity."""
+    img = np.full((height, width, 3), 40, np.uint8)
+    x, y, z = np.tanh(pose_wxyz[:3])
+    cx = int((0.5 + 0.3 * x + 0.05 * (cam - 0.5)) * width)
+    cy = int((0.5 + 0.3 * y) * height)
+    half = max(4, int((0.08 + 0.05 * (z + 1) / 2) * min(height, width)))
+    color = np.array([200, 120 + int(50 * x), 80 + int(50 * y)], np.uint8)
+    y0, y1 = max(0, cy - half), min(height, cy + half)
+    x0, x1 = max(0, cx - half), min(width, cx + half)
+    img[y0:y1, x0:x1] = color
+    return img
+
+
 def write_synthetic_dataset(
     out_dir: str,
     n_train: int = 10,
@@ -40,8 +57,14 @@ def write_synthetic_dataset(
     n_cams: int = 2,
     seed: int = 0,
     q_leap_dim: int = 16,
+    pose_encoded: bool = False,
 ) -> str:
-    """Write a complete synthetic dataset to `out_dir`. Returns `out_dir`."""
+    """Write a complete synthetic dataset to `out_dir`. Returns `out_dir`.
+
+    With `pose_encoded=True` the images are a deterministic function of the pose
+    (learnable translation signal) instead of random noise — useful for
+    end-to-end learning demonstrations without the Unity renderer.
+    """
     import h5py
     from PIL import Image
 
@@ -51,9 +74,13 @@ def write_synthetic_dataset(
     os.makedirs(img_dir, exist_ok=True)
 
     n_total = n_train + n_test
+    poses_all = _random_wxyz_poses(rng, n_total) if pose_encoded else None
     for i in range(n_total):
-        for suffix in ("a", "b"):
-            arr = (rng.random((height, width, 3)) * 255).astype(np.uint8)
+        for cam, suffix in enumerate(("a", "b")):
+            if pose_encoded:
+                arr = _render_pose_encoded(poses_all[i], height, width, cam)
+            else:
+                arr = (rng.random((height, width, 3)) * 255).astype(np.uint8)
             Image.fromarray(arr).save(img_dir / f"img{i}_{suffix}.png")
 
     with h5py.File(out / f"{out.stem}.hdf5", "w") as f:
@@ -62,7 +89,12 @@ def write_synthetic_dataset(
         f.attrs["H"] = height
         for name, n, start in (("train", n_train, 0), ("test", n_test, n_train)):
             g = f.create_group(name)
-            g.create_dataset("cube_poses", data=_random_wxyz_poses(rng, n))
+            poses = (
+                poses_all[start : start + n]
+                if pose_encoded
+                else _random_wxyz_poses(rng, n)
+            )
+            g.create_dataset("cube_poses", data=poses)
             g.create_dataset("q_leap", data=rng.normal(size=(n, q_leap_dim)))
             stems = [f"img/img{i}".encode() for i in range(start, start + n)]
             g.create_dataset("img_stems", data=np.array(stems))

@@ -91,3 +91,26 @@ def test_loader_host_sharding(dummy_data_path):
     flat0 = {tuple(np.round(p, 5)) for p in shards[0]}
     flat1 = {tuple(np.round(p, 5)) for p in shards[1]}
     assert not flat0 & flat1
+
+
+def test_pose_encoded_synthetic_dataset(tmp_path):
+    """pose_encoded mode: images are a deterministic function of the stored poses."""
+    import h5py
+    from pathlib import Path
+
+    from argus_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "enc")
+    write_synthetic_dataset(d, n_train=4, n_test=2, height=64, width=64, seed=3, pose_encoded=True)
+    cfg = CameraCubePoseDatasetConfig(d, center_crop=(64, 64))
+    ds = CameraCubePoseDataset(cfg, train=True)
+    assert len(ds) == 4
+    ex = ds[0]
+    # the square renders structure, not noise: few unique colors
+    assert len(np.unique(ex["images"][..., :3].reshape(-1, 3), axis=0)) < 10
+    # determinism: same seed -> same bytes
+    d2 = str(tmp_path / "enc2")
+    write_synthetic_dataset(d2, n_train=4, n_test=2, height=64, width=64, seed=3, pose_encoded=True)
+    ds2 = CameraCubePoseDataset(CameraCubePoseDatasetConfig(d2, center_crop=(64, 64)), train=True)
+    assert np.array_equal(ds[0]["images"], ds2[0]["images"])
+    assert np.allclose(ds.cube_poses, ds2.cube_poses)
