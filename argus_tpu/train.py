@@ -361,6 +361,14 @@ def initialize_training(cfg: TrainConfig):
         f"global batch {cfg.batch_size} must divide over {n_data} data shards"
     )
 
+    # pallas_call has no SPMD partitioning rule yet: under a >1-device data axis it
+    # would force a full gather of the batch onto every chip. Use the XLA blur path
+    # for multichip runs (round-2: custom partitioning for the kernel).
+    if n_data > 1 and cfg.augmentation_config.pallas_blur:
+        import dataclasses as _dc
+
+        cfg.augmentation_config = _dc.replace(cfg.augmentation_config, pallas_blur=False)
+
     # datasets + loaders (per-host sharded; augmentation runs on-device)
     train_dataset = CameraCubePoseDataset(cfg.dataset_config, train=True)
     val_dataset = CameraCubePoseDataset(cfg.dataset_config, train=False)
