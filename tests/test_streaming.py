@@ -49,7 +49,7 @@ def test_streaming_feeds_train_step():
     class _Cfg:
         model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
         model_type = "pose_cnn"
-        augmentation_config = AugmentationConfig(num_spaghetti=2)
+        augmentation_config = AugmentationConfig(num_spaghetti=2, pallas_blur=False)
         use_augmentation = True
         amp = False
         max_grad_norm = 1.0

@@ -28,7 +28,7 @@ def _small_cfg(dummy_data_path, dummy_save_dir, **overrides) -> TrainConfig:
         save_dir=dummy_save_dir,
         model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=32),
         dataset_config=CameraCubePoseDatasetConfig(dataset_path=dummy_data_path, center_crop=(64, 64)),
-        augmentation_config=AugmentationConfig(num_spaghetti=2),
+        augmentation_config=AugmentationConfig(num_spaghetti=2, pallas_blur=False),
         num_workers=2,
         wandb_log=False,
     )
