@@ -88,7 +88,9 @@ class TrainConfig:
         resume_from: checkpoint path to resume full train state from.
     """
 
-    dataset_config: CameraCubePoseDatasetConfig
+    # None is allowed at construction time (bench/dryrun harnesses feed synthetic
+    # batches directly); `initialize_training` requires a real dataset config.
+    dataset_config: Optional[CameraCubePoseDatasetConfig] = None
     model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
     # model family: "pose_cnn" (direct se(3) regression, the flagship) or
     # "keypoint" (corner heatmaps + differentiable triangulation/Procrustes PnP)
@@ -218,7 +220,8 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     # HBM traffic for the hottest elementwise stage, and the model consumes bf16 anyway
     feed_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
     if model_type == "keypoint":
-        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        ds_cfg = getattr(cfg, "dataset_config", None)
+        crop = tuple((ds_cfg.center_crop if ds_cfg else None) or (256, 256))
         cam_P = nominal_camera_matrices(*crop)
     else:
         cam_P = None
@@ -275,7 +278,8 @@ def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     )
     n_spag = cfg.augmentation_config.num_spaghetti if cfg.use_augmentation else 0
     if model_type == "keypoint":
-        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        ds_cfg = getattr(cfg, "dataset_config", None)
+        crop = tuple((ds_cfg.center_crop if ds_cfg else None) or (256, 256))
         cam_P = nominal_camera_matrices(*crop)
     else:
         cam_P = None
@@ -348,6 +352,10 @@ def initialize_training(cfg: TrainConfig):
     Returns a dict of everything `train` needs (the reference returns a 10-tuple,
     argus/train.py:122-255).
     """
+    assert cfg.dataset_config is not None, (
+        "TrainConfig.dataset_config is required for training (it may only be None "
+        "for harnesses that feed synthetic batches straight into make_train_step)"
+    )
     process_index, process_count = jax.process_index(), jax.process_count()
 
     # mesh: all (or num_chips) devices when multigpu, else a single device

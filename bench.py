@@ -42,22 +42,20 @@ def main() -> None:
 
     from argus_tpu.models import NCameraCNNConfig
     from argus_tpu.ops.augment import AugmentationConfig
-    from argus_tpu.train import create_train_state, make_train_step
+    from argus_tpu.train import TrainConfig, create_train_state, make_train_step
     from argus_tpu.geom import se3_exp
 
     batch_size = int(os.environ.get("BENCH_BATCH", 128))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     hw = (256, 256)
 
-    class _Cfg:
-        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet50", resnet_output_dim=1024)
-        augmentation_config = AugmentationConfig()
-        use_augmentation = True
-        amp = True  # bf16 compute
-        max_grad_norm = 1.0
-        learning_rate = 1e-4
-
-    cfg = _Cfg()
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet50", resnet_output_dim=1024),
+        augmentation_config=AugmentationConfig(),
+        use_augmentation=True,
+        amp=True,  # bf16 compute
+        wandb_log=False,
+    )
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), hw)
     train_step = make_train_step(model, cfg, base_seed=0)
 
