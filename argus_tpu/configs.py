@@ -44,6 +44,16 @@ def _kebab(name: str) -> str:
     return name.replace("_", "-")
 
 
+def _num_or_str(v: str):
+    """Element caster for un-parameterized sequence annotations."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
 def _add_fields(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:
     hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
@@ -68,12 +78,19 @@ def _add_fields(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:
             continue
 
         origin = typing.get_origin(ftype)
-        if origin in (tuple, list):
+        # bare `tuple`/`list` annotations (get_origin is None) take the sequence
+        # path too, with int-or-float element casting (ADVICE r1: `--center-crop
+        # 256 256` on a bare-tuple field used to be "unrecognized arguments")
+        if origin in (tuple, list) or ftype in (tuple, list):
             args = typing.get_args(ftype)
-            elem = args[0] if args else str
+            elem = args[0] if args else _num_or_str
             if elem is Ellipsis:
-                elem = str
-            nargs = "+" if (len(args) == 2 and args[1] is Ellipsis) or origin is list else len(args)
+                elem = _num_or_str
+            nargs = (
+                "+"
+                if (len(args) == 2 and args[1] is Ellipsis) or origin is list or not args
+                else len(args)
+            )
             parser.add_argument(
                 flag,
                 dest=prefix + f.name,
@@ -118,7 +135,7 @@ def _build(cls, values: dict, prefix: str = ""):
             continue
         if key in values:
             v = values[key]
-            if typing.get_origin(ftype) is tuple and isinstance(v, list):
+            if (typing.get_origin(ftype) is tuple or ftype is tuple) and isinstance(v, list):
                 v = tuple(v)
             kwargs[f.name] = v
     return cls(**kwargs)

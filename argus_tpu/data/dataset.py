@@ -265,11 +265,17 @@ class HostDataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        # producer exceptions must reach the consumer — swallowing them would
+        # silently truncate the epoch and train on partial data (same pattern as
+        # StreamingRenderLoader, data/streaming.py)
+        error: list = []
 
         def producer():
             try:
                 for b in batches:
                     q.put(self._make_batch(b))
+            except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -281,3 +287,5 @@ class HostDataLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise RuntimeError("HostDataLoader producer thread failed") from error[0]

@@ -46,6 +46,14 @@ class NCameraCNNConfig:
     # exact MXU-friendly rewrite of the stem conv (see models/resnet.py); changes
     # the param tree (conv_init -> conv_init_s2d) but not the function computed
     stem_space_to_depth: bool = False
+    # HBM-lean BatchNorm training (ops/norm.py): stride-s H-subsampled batch stats /
+    # dgamma-dbeta estimates. 1 = exact flax/torch BN semantics. The train-step
+    # profile is BN-reduction-bound (CLAUDE.md); stride 4 cuts those HBM reads 4x
+    # while still averaging ~2x more samples/channel than the reference's batch-32
+    # statistics (argus/train.py:64). Convergence parity: tests/test_norm.py.
+    bn_stats_stride: int = 1
+    bn_grad_stride: int = 1
+    bn_impl: str = "xla"  # "xla" | "pallas" | "auto" — reduction engine (ops/norm.py)
 
 
 class NCameraCNN(nn.Module):
@@ -77,6 +85,9 @@ class NCameraCNN(nn.Module):
             output_dim=cfg.resnet_output_dim,
             dtype=dtype,
             stem_space_to_depth=cfg.stem_space_to_depth,
+            bn_stats_stride=cfg.bn_stats_stride,
+            bn_grad_stride=cfg.bn_grad_stride,
+            bn_impl=cfg.bn_impl,
             name="backbone",
         )
         feats = backbone(x, train=train)  # (B * n_cams, resnet_output_dim)

@@ -25,6 +25,8 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from argus_tpu.ops.norm import BatchNorm
+
 ModuleDef = Any
 
 
@@ -147,6 +149,11 @@ class ResNet(nn.Module):
     # rematerialize residual blocks in the backward pass: trades FLOPs for HBM
     # traffic (the step is BN-reduction/HBM-bound, see CLAUDE.md profile)
     remat: bool = False
+    # HBM-lean BatchNorm training mode (ops/norm.py): H-strided batch statistics /
+    # dgamma-dbeta subsampling. 1/1 = exact flax/torch semantics.
+    bn_stats_stride: int = 1
+    bn_grad_stride: int = 1
+    bn_impl: str = "xla"  # "xla" | "pallas" | "auto" (pallas reduce kernels on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -155,11 +162,14 @@ class ResNet(nn.Module):
         # that breaks imported pretrained-weight fidelity (models/torch_import.py)
         conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = functools.partial(
-            nn.BatchNorm,
+            BatchNorm,
             use_running_average=not train,
             momentum=self.norm_momentum,
             epsilon=self.norm_eps,
             dtype=self.dtype,
+            stats_stride=self.bn_stats_stride,
+            grad_stride=self.bn_grad_stride,
+            impl=self.bn_impl,
         )
 
         x = x.astype(self.dtype)

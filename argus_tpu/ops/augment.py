@@ -69,8 +69,14 @@ class AugmentationConfig:
     pallas_blur: bool = True
 
 
-def _as_range(r: Range) -> Tuple[float, float]:
+def _as_range(r: Range, center_one: bool = False) -> Tuple[float, float]:
+    """Scalar shorthand follows kornia/torchvision: brightness/contrast/saturation
+    map r -> (max(0, 1-r), 1+r) (multiplicative factors about 1); hue stays
+    symmetric about 0 (ADVICE r1: a symmetric brightness range would produce
+    near-black/negated images)."""
     if isinstance(r, (int, float)):
+        if center_one:
+            return (max(0.0, 1.0 - float(r)), 1.0 + float(r))
         return (-float(r), float(r))
     return (float(r[0]), float(r[1]))
 
@@ -163,9 +169,9 @@ def color_jiggle(
         p = _uniform(k, (B, 1), lo, hi, images.dtype)
         return jnp.repeat(p, n_cams, axis=0)[..., None, None]  # (N, 1, 1, 1)
 
-    b = shared(kb, *_as_range(cfg.brightness))
-    c = shared(kc, *_as_range(cfg.contrast))
-    s = shared(ks, *_as_range(cfg.saturation))
+    b = shared(kb, *_as_range(cfg.brightness, center_one=True))
+    c = shared(kc, *_as_range(cfg.contrast, center_one=True))
+    s = shared(ks, *_as_range(cfg.saturation, center_one=True))
     h = shared(kh, *_as_range(cfg.hue))
 
     ops = [
@@ -525,6 +531,7 @@ def apply_augmentation(
     images: jnp.ndarray,
     n_cams: int = 2,
     train: bool = True,
+    mesh=None,
 ) -> jnp.ndarray:
     """Apply the full augmentation stack. images: (B, H, W, 3*n_cams) float32 [0,1].
 
@@ -533,6 +540,12 @@ def apply_augmentation(
     __getitem__ there). Color jiggle shares parameters across one example's cameras;
     everything else is independent per camera image. Internally channel-first (see
     module docstring).
+
+    mesh: the active `jax.sharding.Mesh` when running under a >1-device "data"
+    axis. `pallas_call` has no SPMD partitioning rule, so without help GSPMD would
+    all-gather the full batch onto every chip before the blur kernel; the mesh lets
+    us `shard_map` the kernel over the data axis (each device blurs its own shard —
+    the math is per-image, so the result is bitwise the unsharded one).
     """
     if not train:
         return images
@@ -562,7 +575,19 @@ def apply_augmentation(
         mk, mgate = _motion_kernel(keys[6], B * n_cams)
         gates = jnp.stack([ggate, mgate], axis=1)
         interpret = jax.default_backend() == "cpu"
-        per_cam = fused_random_blur(per_cam, gw, mk, gates, interpret=interpret)
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as _P
+
+            blur = jax.shard_map(
+                lambda im, w, k, g: fused_random_blur(im, w, k, g, interpret=interpret),
+                mesh=mesh,
+                in_specs=(_P("data"), _P("data"), _P("data"), _P("data")),
+                out_specs=_P("data"),
+                check_vma=False,
+            )
+            per_cam = blur(per_cam, gw, mk, gates.astype(jnp.float32))
+        else:
+            per_cam = fused_random_blur(per_cam, gw, mk, gates, interpret=interpret)
     else:
         if cfg.blur:
             per_cam = gaussian_blur(keys[5], per_cam)

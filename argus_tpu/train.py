@@ -207,9 +207,12 @@ def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tu
 # ───────────────────────────── steps ─────────────────────────────
 
 
-def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
+def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=None):
     """Build the jitted train step. The whole hot path — u8->f32, augmentation,
-    forward, loss, backward, clipped Adam update — is ONE XLA program."""
+    forward, loss, backward, clipped Adam update — is ONE XLA program.
+
+    mesh: pass the active Mesh when the batch is sharded over a >1-device "data"
+    axis so the Pallas blur kernel runs shard_map-ped per device (ops/augment.py)."""
     tx = make_optimizer(cfg.max_grad_norm)
     aug_cfg = cfg.augmentation_config
     model_type = getattr(cfg, "model_type", "pose_cnn")
@@ -231,7 +234,9 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
         key = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
         images = u8_to_f32(batch["images"], feed_dtype)
         if cfg.use_augmentation:
-            images = apply_augmentation(aug_cfg, key, images, n_cams=n_cams, train=True)
+            images = apply_augmentation(
+                aug_cfg, key, images, n_cams=n_cams, train=True, mesh=mesh
+            )
 
         def loss_fn(params):
             pred, mutated = model.apply(
@@ -285,10 +290,15 @@ def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
         cam_P = None
 
     @jax.jit
-    def eval_step(state: TrainState, batch: dict):
+    def eval_step(state: TrainState, batch: dict, batch_idx: jnp.ndarray = jnp.zeros((), jnp.int32)):
         images = u8_to_f32(batch["images"])
         if cfg.val_spaghetti and n_spag > 0:
-            key = jax.random.fold_in(jax.random.PRNGKey(base_seed + 1), state.step)
+            # fold in BOTH step and batch index: step alone is constant across one
+            # validation epoch, which would draw identical arcs on every batch and
+            # correlate the val-loss noise the plateau scheduler sees (ADVICE r1)
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(base_seed + 1), state.step), batch_idx
+            )
             B, H, W, C = images.shape
             # channel-first for the VPU (see ops/augment.py layout note)
             per_cam = jnp.transpose(images.reshape(B, H, W, n_cams, 3), (0, 3, 4, 1, 2))
@@ -368,20 +378,17 @@ def initialize_training(cfg: TrainConfig):
     assert cfg.batch_size % (n_data) == 0, (
         f"global batch {cfg.batch_size} must divide over {n_data} data shards"
     )
-
-    # pallas_call has no SPMD partitioning rule yet: under a >1-device data axis it
-    # would force a full gather of the batch onto every chip. Use the XLA blur path
-    # for multichip runs (round-2: custom partitioning for the kernel).
-    if n_data > 1 and cfg.augmentation_config.pallas_blur:
-        import dataclasses as _dc
-
-        cfg.augmentation_config = _dc.replace(cfg.augmentation_config, pallas_blur=False)
+    assert cfg.batch_size % process_count == 0, (
+        f"global batch {cfg.batch_size} must divide over {process_count} host processes"
+    )
 
     # datasets + loaders (per-host sharded; augmentation runs on-device)
     train_dataset = CameraCubePoseDataset(cfg.dataset_config, train=True)
     val_dataset = CameraCubePoseDataset(cfg.dataset_config, train=False)
+    # batch_size is GLOBAL: each host loads its 1/process_count share and
+    # global_batch stitches the shards into the globally-sharded array
     loader_kw = dict(
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size // process_count,
         num_workers=cfg.num_workers,
         process_index=process_index,
         process_count=process_count,
@@ -404,7 +411,7 @@ def initialize_training(cfg: TrainConfig):
     )
     state = jax.device_put(state, shardings)
 
-    train_step = make_train_step(model, cfg, base_seed=cfg.random_seed)
+    train_step = make_train_step(model, cfg, base_seed=cfg.random_seed, mesh=mesh)
     eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed)
 
     run_id = generate_run_id()
@@ -480,12 +487,15 @@ def train(cfg: TrainConfig) -> str:
 
         # ── validation + plateau schedule ──
         if epoch % cfg.val_epochs == 0:
-            total, count = 0.0, 0.0
-            for batch in setup["val_loader"]:
-                s, c = eval_step(state, global_batch(mesh, batch))
-                total += float(s)
-                count += float(c)
-            val_loss = total / max(count, 1.0)
+            # accumulate (sum, count) ON DEVICE across batches; ONE host fetch at
+            # the end — a float() per val batch is a ~25 ms tunnel sync each
+            total = jnp.zeros((), jnp.float32)
+            count = jnp.zeros((), jnp.float32)
+            for bi, batch in enumerate(setup["val_loader"]):
+                s, c = eval_step(state, global_batch(mesh, batch), jnp.asarray(bi, jnp.int32))
+                total = total + s
+                count = count + c
+            val_loss = float(total) / max(float(count), 1.0)
             logger.log({"val_loss": val_loss}, step=global_step)
             rank_print(f"    Validation loss: {val_loss:.6f}", rank)
             new_lr = scheduler.step(val_loss, lr)
