@@ -192,21 +192,58 @@ def color_jiggle(
 # (reference: kornia RandomPlanckianJitter(mode="blackbody"), p=.5 — argus/data.py:63-64)
 
 
+def _cie_xyz_bar(lam_nm: np.ndarray) -> np.ndarray:
+    """CIE 1931 2-degree color matching functions via the multi-lobe piecewise
+    Gaussian fit of Wyman, Sloan & Shirley (JCGT 2013) — public constants, max
+    error well under 1% of peak. Returns (3, len(lam)) rows x̄, ȳ, z̄."""
+
+    def g(lam, mu, s_lo, s_hi):
+        s = np.where(lam < mu, s_lo, s_hi)
+        return np.exp(-0.5 * ((lam - mu) / s) ** 2)
+
+    x = (
+        1.056 * g(lam_nm, 599.8, 37.9, 31.0)
+        + 0.362 * g(lam_nm, 442.0, 16.0, 26.7)
+        - 0.065 * g(lam_nm, 501.1, 20.4, 26.2)
+    )
+    y = 0.821 * g(lam_nm, 568.8, 46.9, 40.5) + 0.286 * g(lam_nm, 530.9, 16.3, 31.1)
+    z = 1.217 * g(lam_nm, 437.0, 11.8, 36.0) + 0.681 * g(lam_nm, 459.0, 26.0, 13.8)
+    return np.stack([x, y, z])
+
+
+# CIE XYZ -> linear sRGB (D65), IEC 61966-2-1
+_XYZ_TO_SRGB = np.array(
+    [
+        [3.2406, -1.5372, -0.4986],
+        [-0.9689, 1.8758, 0.0415],
+        [0.0557, -0.2040, 1.0570],
+    ]
+)
+
+
 def _blackbody_rgb_table(n: int = 25, t_min: float = 3000.0, t_max: float = 15000.0) -> np.ndarray:
     """(n, 3) R/G/B gain rows for blackbody illuminants, G-normalized.
 
-    Planck's law sampled at representative R/G/B wavelengths (610/550/465 nm) gives
-    the relative channel response under a T-kelvin illuminant; dividing by the
-    G response yields white-balance-style gains — the same *kind* of table kornia
-    ships (distribution parity, not code parity).
+    Derivation follows the Planckian Jitter recipe the reference inherits through
+    kornia (argus/data.py:63-64; Zini et al. 2022): Planck's spectral radiance at
+    temperature T integrated against the CIE 1931 color matching functions over
+    the visible band, converted XYZ -> linear sRGB, clamped, and divided by the
+    G response to give white-balance-style channel gains. kornia's literal
+    coefficient table cannot be vendored in this environment (no kornia install,
+    no egress — docs/ROUND2_NOTES.md), so the table is re-derived from the same
+    physics; golden rows are pinned in tests/test_augment.py.
     """
-    wavelengths = np.array([610e-9, 550e-9, 465e-9])  # R, G, B
-    h, c, kb = 6.626e-34, 3.0e8, 1.381e-23
+    lam_nm = np.linspace(380.0, 780.0, 401)
+    lam_m = lam_nm * 1e-9
+    cmf = _cie_xyz_bar(lam_nm)  # (3, L)
+    h, c, kb = 6.62607015e-34, 2.99792458e8, 1.380649e-23
     temps = np.linspace(t_min, t_max, n)
     table = np.zeros((n, 3))
     for i, T in enumerate(temps):
-        radiance = 1.0 / (wavelengths**5 * (np.exp(h * c / (wavelengths * kb * T)) - 1.0))
-        table[i] = radiance / radiance[1]
+        radiance = 1.0 / (lam_m**5 * (np.exp(h * c / (lam_m * kb * T)) - 1.0))
+        xyz = cmf @ radiance  # integrate (trapezoid up to a constant factor)
+        rgb = np.maximum(_XYZ_TO_SRGB @ xyz, 0.0)
+        table[i] = rgb / rgb[1]
     return table.astype(np.float32)
 
 

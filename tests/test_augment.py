@@ -161,3 +161,38 @@ def test_brightness_range_respected():
     out = A.apply_augmentation(cfg, jax.random.PRNGKey(25), imgs, n_cams=2)
     assert jnp.all(out <= imgs + 1e-6)
     assert jnp.all(out >= 0.8 * imgs - 1e-6)
+
+
+def test_planckian_table_golden_rows():
+    """Pin the CIE-integrated blackbody gain table (rederivation of the kornia /
+    Planckian-Jitter recipe; see ops/augment._blackbody_rgb_table docstring).
+    Values are physical invariants, not tuning: warm 3000K boosts R ~2x and cuts
+    B to ~1/3; ~6500K is near-neutral (D65); gains are G-normalized."""
+    from argus_tpu.ops.augment import _blackbody_rgb_table
+
+    t = _blackbody_rgb_table()
+    assert t.shape == (25, 3)
+    np.testing.assert_allclose(t[:, 1], 1.0)  # G-normalized
+    np.testing.assert_allclose(t[0], [2.0661, 1.0, 0.3192], atol=2e-3)   # 3000 K
+    np.testing.assert_allclose(t[6], [1.1101, 1.0, 0.9723], atol=2e-3)   # 6000 K
+    np.testing.assert_allclose(t[24], [0.7945, 1.0, 1.7183], atol=2e-3)  # 15000 K
+    # color-temperature physics: R falls, B rises with T
+    assert np.all(np.diff(t[:, 0]) < 0) and np.all(np.diff(t[:, 2]) > 0)
+    # near-neutral white point around 6500K (between rows 6 and 8)
+    assert abs(float(t[7, 0]) - 1.0) < 0.12 and abs(float(t[7, 2]) - 1.0) < 0.12
+
+
+def test_motion_kernel_mass_follows_direction():
+    """The 3x3 motion kernel's mass must lie along the sampled angle: at small
+    angles the center row carries most mass; the direction parameter skews the
+    leading vs trailing tap (kornia RandomMotionBlur semantics, argus/data.py:81)."""
+    from argus_tpu.ops.augment import _motion_kernel
+
+    k, gate = _motion_kernel(jax.random.PRNGKey(0), 512)
+    k = np.asarray(k)
+    np.testing.assert_allclose(k.sum((1, 2)), 1.0, atol=1e-5)
+    # angle range is +-35 deg -> |sin| <= 0.574: center row always dominates
+    center_row = k[:, 1, :].sum(1)
+    assert float(center_row.mean()) > 0.7
+    # gate probability ~0.7
+    assert 0.6 < float(np.asarray(gate).mean()) < 0.8
