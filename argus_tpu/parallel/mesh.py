@@ -37,6 +37,19 @@ def init_distributed(
     JAX drives all local devices from one process.
     """
     if coordinator_address is not None:
+        # CPU backends need an explicit cross-process collectives impl (TPU uses
+        # ICI/DCN natively). Checked via config, NOT jax.default_backend() — that
+        # would initialize the backend before the distributed runtime exists.
+        import os
+
+        platforms = os.environ.get("JAX_PLATFORMS", "") or str(
+            getattr(jax.config, "jax_platforms", "") or ""
+        )
+        if platforms.startswith("cpu"):
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass  # older jaxlib without the option
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -49,6 +49,11 @@ class ValRealConfig:
     dataset_config: CameraCubePoseDatasetConfig
     model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
     mujoco_xml: str = os.path.join(ROOT, "mujoco", "leap", "task.xml")
+    # pose the articulated LEAP hand in the re-renders: per-frame `q_leap` when the
+    # HDF5 carries it, else the scene's "home" keyframe grasp. The reference leaves
+    # the hand at qpos defaults (argus/validate_real.py:76-78); posing it makes the
+    # real-vs-rendered comparison faithful to the actual rig.
+    pose_hand: bool = True
 
 
 def make_pose_estimator(model: NCameraCNN, variables: dict):
@@ -111,6 +116,16 @@ def validate_real(cfg: ValRealConfig) -> str:
     frames = []
     with h5py.File(filename, "r") as f:
         img_stems = [s.decode("utf-8") for s in f["img_stems"][()]]
+        q_leap = f["q_leap"][()] if "q_leap" in f else None
+
+    # hand articulation: per-frame q_leap, else the "home" keyframe grasp
+    n_hand = m.nq - 7
+    home_hand = None
+    if cfg.pose_hand and n_hand > 0:
+        if m.nkey > 0:
+            home_hand = np.array(m.key_qpos[0][7 : 7 + n_hand])
+        else:  # scene without a keyframe: keep defaults
+            home_hand = np.array(d.qpos[7 : 7 + n_hand])
 
     for i, stem in enumerate(img_stems):
         pair = [
@@ -122,6 +137,9 @@ def validate_real(cfg: ValRealConfig) -> str:
         pred_pose_xyzw = np.asarray(estimate(images_u8)[0])
         pred_pose_wxyz = xyzxyzw_to_xyzwxyz_SE3(pred_pose_xyzw)
         d.qpos[:7] = pred_pose_wxyz
+        if cfg.pose_hand and n_hand > 0:
+            hand = q_leap[i][:n_hand] if q_leap is not None else home_hand
+            d.qpos[7 : 7 + len(hand)] = hand
         mujoco.mj_forward(m, d)
 
         fig = plt.figure()

@@ -13,7 +13,14 @@ throughput the reference never measured, BASELINE.md):
 Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline` divides by
 an estimated 1000 camera-images/sec for the torch reference on A100 (input-bound at
 batch 32 per argus/train.py:64; A100 ResNet-50-training ceilings are far higher, so
-this is a *generous* estimate of the reference's actual pipeline).
+this is a *generous* estimate of the reference's actual pipeline). The estimate is
+labeled as such in the JSON (`baseline_is_estimate`).
+
+Hardware-truth accounting (VERDICT r1 #8): the extras carry `mfu` (model flops vs
+197 TFLOP/s bf16 peak) and `hbm_util` (XLA cost-analysis bytes vs 819 GB/s peak) so
+progress is tracked against the v5e roofline, not a fiction. Round-2 finding: the
+step runs at ~90% of its HBM-bytes roofline (105.6 GB/step), i.e. the remaining
+headroom is in program bytes, not kernel tuning (docs/ROUND2_NOTES.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -69,6 +76,16 @@ def main() -> None:
     # ── training throughput ──
     # NOTE: block_until_ready is unreliable through the remote-TPU tunnel this runs
     # under; a host fetch of a scalar (float(loss)) is the honest synchronization.
+    # roofline accounting straight from the compiled program
+    step_flops = step_bytes = None
+    try:
+        ca = train_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
     state, loss = train_step(state, batch)  # compile + warmup
     float(loss)
     state, loss = train_step(state, batch)
@@ -126,6 +143,19 @@ def main() -> None:
                     "final_train_loss": float(loss),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
+                    # the denominator is an ESTIMATE (no published reference numbers)
+                    "baseline_is_estimate": True,
+                    "baseline_images_per_sec_est": BASELINE_IMAGES_PER_SEC,
+                    # v5e roofline accounting (peaks: 197 TFLOP/s bf16, 819 GB/s HBM)
+                    "step_ms": round(dt / n_steps * 1e3, 2),
+                    "mfu": round(step_flops / (dt / n_steps) / 197e12, 4)
+                    if step_flops
+                    else None,
+                    "hbm_util": round(step_bytes / (dt / n_steps) / 819e9, 4)
+                    if step_bytes
+                    else None,
+                    "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+                    "step_gb": round(step_bytes / 1e9, 2) if step_bytes else None,
                 },
             }
         )

@@ -64,3 +64,75 @@ def test_validate_real_end_to_end(real_data_dir, tmp_path):
     out_dir = validate_real(cfg)
     assert os.path.exists(os.path.join(out_dir, "example_0.png"))
     assert os.path.exists(os.path.join(out_dir, "real_validation.gif"))
+
+
+def _load(path):
+    return mujoco.MjModel.from_xml_path(path)
+
+
+def test_generated_scene_contract():
+    """Scene contract: qpos = [cube 7 | hand 16] (the MJPC state layout the datagen
+    consumes, argus/data_generation.py:221-224), 16 position actuators named like
+    the reference's, both cameras present, home keyframe."""
+    from argus_tpu import ROOT
+
+    scene = os.path.join(ROOT, "mujoco", "leap", "task.xml")
+    if not os.path.exists(scene):
+        pytest.skip("mujoco scene not generated")
+    m = _load(scene)
+    assert m.nq == 23 and m.nu == 16 and m.nkey >= 1
+    names = [mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_ACTUATOR, i) for i in range(m.nu)]
+    assert names == ["1", "0", "2", "3", "5", "4", "6", "7", "9", "8", "10", "11", "12", "13", "14", "15"]
+    assert mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_CAMERA, "cam1") >= 0
+    assert mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_CAMERA, "cam2") >= 0
+
+
+def test_leap_hand_fk_matches_reference():
+    """The meshless hand must be kinematically identical to the reference's
+    mujoco/leap/leap_hand.xml: fingertip body positions match to sub-mm at the
+    home keyframe AND at random joint configurations."""
+    from argus_tpu import ROOT
+
+    ref_scene = "/root/reference/mujoco/leap/task.xml"
+    scene = os.path.join(ROOT, "mujoco", "leap", "task.xml")
+    if not (os.path.exists(ref_scene) and os.path.exists(scene)):
+        pytest.skip("reference or generated scene unavailable")
+    m, mr = _load(scene), _load(ref_scene)
+    d, dr = mujoco.MjData(m), mujoco.MjData(mr)
+    bodies = ["palm", "fingertip", "fingertip_2", "fingertip_3", "thumb_fingertip"]
+
+    rng = np.random.default_rng(0)
+    lo, hi = m.jnt_range[1:, 0], m.jnt_range[1:, 1]  # skip the free joint
+    for trial in range(4):
+        if trial == 0:
+            mujoco.mj_resetDataKeyframe(m, d, 0)
+            mujoco.mj_resetDataKeyframe(mr, dr, 0)
+        else:
+            q = rng.uniform(lo, hi)
+            for dd in (d, dr):
+                dd.qpos[7:23] = q
+        mujoco.mj_forward(m, d)
+        mujoco.mj_forward(mr, dr)
+        for b in bodies:
+            err = np.linalg.norm(d.body(b).xpos - dr.body(b).xpos)
+            assert err < 5e-4, (trial, b, err)
+
+
+def test_hand_visible_in_renders():
+    """Both calibration cameras must actually see the articulated hand (dark
+    geoms) and the cube at the home grasp."""
+    from argus_tpu import ROOT
+
+    scene = os.path.join(ROOT, "mujoco", "leap", "task.xml")
+    if not os.path.exists(scene):
+        pytest.skip("mujoco scene not generated")
+    m = _load(scene)
+    d = mujoco.MjData(m)
+    mujoco.mj_resetDataKeyframe(m, d, 0)
+    mujoco.mj_forward(m, d)
+    r = mujoco.Renderer(m, 128, 128)
+    for cam in ("cam1", "cam2"):
+        r.update_scene(d, camera=cam)
+        img = r.render()
+        dark = ((img < 80).all(-1)).mean()
+        assert dark > 0.08, (cam, dark)  # hand_black geoms occupy a real fraction
