@@ -48,6 +48,57 @@ def _render_pose_encoded(pose_wxyz: np.ndarray, height: int, width: int, cam: in
     return img
 
 
+def _workspace_wxyz_poses(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Random poses INSIDE the rig workspace (cube near the grasp point, fully
+    random orientation) — every corner projects into both cameras."""
+    from scipy.spatial.transform import Rotation as R
+
+    trans = np.array([0.0, 0.0, 0.05]) + rng.uniform(
+        [-0.04, -0.04, -0.03], [0.04, 0.04, 0.03], size=(n, 3)
+    )
+    quat_xyzw = R.random(n, random_state=np.random.RandomState(rng.integers(2**31))).as_quat()
+    quat_wxyz = np.concatenate([quat_xyzw[:, 3:], quat_xyzw[:, :3]], axis=-1)
+    return np.concatenate([trans, quat_wxyz], axis=-1)
+
+
+# 8 visually distinct corner colors (order = models.keypoint_net.cube_corners)
+_CORNER_COLORS = np.array(
+    [
+        [230, 60, 60], [60, 200, 80], [70, 120, 240], [240, 200, 50],
+        [230, 120, 40], [170, 70, 220], [70, 220, 210], [235, 235, 235],
+    ],
+    np.uint8,
+)
+
+
+def _render_corner_projection(pose_wxyz: np.ndarray, height: int, width: int) -> list:
+    """Render BOTH cameras' views of the posed cube's 8 corners, projected with the
+    rig's nominal camera matrices (models.keypoint_net.nominal_camera_matrices) —
+    each corner a distinct colored dot. Full 6-DoF pose is recoverable from the two
+    views, so both model families (direct se(3) regression AND corner-keypoint
+    triangulation) can learn it: the accuracy-proxy signal (VERDICT r1 #9)."""
+    from scipy.spatial.transform import Rotation as R
+
+    from argus_tpu.models.keypoint_net import cube_corners, nominal_camera_matrices
+
+    P = np.asarray(nominal_camera_matrices(height, width))  # (2, 3, 4)
+    t, q_wxyz = pose_wxyz[:3], pose_wxyz[3:]
+    rot = R.from_quat(np.concatenate([q_wxyz[1:], q_wxyz[:1]])).as_matrix()
+    pts = np.asarray(cube_corners()) @ rot.T + t  # (8, 3) world
+    r = max(2, min(height, width) // 42)
+    imgs = []
+    for cam in range(2):
+        img = np.full((height, width, 3), 40, np.uint8)
+        uvw = np.concatenate([pts, np.ones((8, 1))], axis=1) @ P[cam].T  # (8, 3)
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        for k in range(8):
+            u, v = int(round(uv[k, 0])), int(round(uv[k, 1]))
+            if -r < u < width + r and -r < v < height + r:
+                img[max(0, v - r) : v + r, max(0, u - r) : u + r] = _CORNER_COLORS[k]
+        imgs.append(img)
+    return imgs
+
+
 def write_synthetic_dataset(
     out_dir: str,
     n_train: int = 10,
@@ -57,13 +108,16 @@ def write_synthetic_dataset(
     n_cams: int = 2,
     seed: int = 0,
     q_leap_dim: int = 16,
-    pose_encoded: bool = False,
+    pose_encoded=False,
 ) -> str:
     """Write a complete synthetic dataset to `out_dir`. Returns `out_dir`.
 
-    With `pose_encoded=True` the images are a deterministic function of the pose
-    (learnable translation signal) instead of random noise — useful for
-    end-to-end learning demonstrations without the Unity renderer.
+    pose_encoded selects the image content:
+      * False — random noise (schema/fixture tests);
+      * True — brightness/position square encoding translation (learnable
+        translation signal, end-to-end learning demo);
+      * "corners" — the 8 cube corners projected through the rig's nominal camera
+        matrices into both views (full 6-DoF learnable; the accuracy proxy).
     """
     import h5py
     from PIL import Image
@@ -74,10 +128,19 @@ def write_synthetic_dataset(
     os.makedirs(img_dir, exist_ok=True)
 
     n_total = n_train + n_test
-    poses_all = _random_wxyz_poses(rng, n_total) if pose_encoded else None
+    if pose_encoded == "corners":
+        poses_all = _workspace_wxyz_poses(rng, n_total)
+    elif pose_encoded:
+        poses_all = _random_wxyz_poses(rng, n_total)
+    else:
+        poses_all = None
     for i in range(n_total):
+        if pose_encoded == "corners":
+            pair = _render_corner_projection(poses_all[i], height, width)
         for cam, suffix in enumerate(("a", "b")):
-            if pose_encoded:
+            if pose_encoded == "corners":
+                arr = pair[cam]
+            elif pose_encoded:
                 arr = _render_pose_encoded(poses_all[i], height, width, cam)
             else:
                 arr = (rng.random((height, width, 3)) * 255).astype(np.uint8)

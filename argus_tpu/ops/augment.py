@@ -67,6 +67,15 @@ class AugmentationConfig:
     # Uses edge instead of reflect border padding — a 2px border difference.
     # Falls back to interpreter mode on CPU (tests) and to the XLA path when off.
     pallas_blur: bool = True
+    # fuse the ENTIRE stack (arcs -> planckian -> jiggle -> blur -> plasma) into
+    # ONE Pallas kernel: one HBM read + one write of the batch instead of ~10+
+    # passes (ops/pallas/augment_fused.py; measured 143.1 -> 141.9 ms/step on the
+    # flagship — the step is HBM-roofline-bound elsewhere, docs/ROUND2_NOTES.md).
+    # Requires the default transform set (no random_erasing / salt_and_pepper);
+    # falls back to the per-op path otherwise. Subsumes pallas_blur when active.
+    # "auto" = fused on TPU, per-op elsewhere (interpret-mode Pallas is too slow
+    # for the CPU test suite); True/False force it.
+    pallas_fused: Union[bool, str] = "auto"
 
 
 def _as_range(r: Range, center_one: bool = False) -> Tuple[float, float]:
@@ -151,6 +160,24 @@ def _adjust_hue(img, shift):
     return jnp.clip(_hsv_to_rgb(jnp.concatenate([h, hsv[:, 1:]], axis=1)), 0.0, 1.0)
 
 
+def _jiggle_params(key: jax.Array, B: int, n_cams: int, cfg: AugmentationConfig, dtype):
+    """(B*n_cams, 4) per-image [brightness, contrast, saturation, hue] factors
+    (shared across each example's cameras) + the (4,) random application order.
+    Shared by color_jiggle and the fused Pallas kernel."""
+    kb, kc, ks, kh, korder = jax.random.split(key, 5)
+
+    def shared(k, lo, hi):
+        p = _uniform(k, (B, 1), lo, hi, dtype)
+        return jnp.repeat(p, n_cams, axis=0)  # (N, 1)
+
+    b = shared(kb, *_as_range(cfg.brightness, center_one=True))
+    c = shared(kc, *_as_range(cfg.contrast, center_one=True))
+    s = shared(ks, *_as_range(cfg.saturation, center_one=True))
+    h = shared(kh, *_as_range(cfg.hue))
+    order = jax.random.permutation(korder, 4)
+    return jnp.concatenate([b, c, s, h], axis=1), order
+
+
 def color_jiggle(
     key: jax.Array, images: jnp.ndarray, cfg: AugmentationConfig, n_cams: int = 2
 ) -> jnp.ndarray:
@@ -162,17 +189,8 @@ def color_jiggle(
     """
     N = images.shape[0]
     B = N // n_cams
-    kb, kc, ks, kh, korder = jax.random.split(key, 5)
-
-    def shared(k, lo, hi):
-        # one param per example, repeated across its cameras
-        p = _uniform(k, (B, 1), lo, hi, images.dtype)
-        return jnp.repeat(p, n_cams, axis=0)[..., None, None]  # (N, 1, 1, 1)
-
-    b = shared(kb, *_as_range(cfg.brightness, center_one=True))
-    c = shared(kc, *_as_range(cfg.contrast, center_one=True))
-    s = shared(ks, *_as_range(cfg.saturation, center_one=True))
-    h = shared(kh, *_as_range(cfg.hue))
+    params, order = _jiggle_params(key, B, n_cams, cfg, images.dtype)
+    b, c, s, h = [params[:, k, None, None, None] for k in range(4)]
 
     ops = [
         lambda im: _adjust_brightness(im, b),
@@ -181,7 +199,6 @@ def color_jiggle(
         lambda im: _adjust_hue(im, h),
     ]
     # random application order (one order per call, like same_on_batch)
-    order = jax.random.permutation(korder, 4)
     out = images
     for slot in range(4):
         out = jax.lax.switch(order[slot], ops, out)
@@ -250,18 +267,24 @@ def _blackbody_rgb_table(n: int = 25, t_min: float = 3000.0, t_max: float = 1500
 _PLANCKIAN_TABLE = _blackbody_rgb_table()
 
 
+def _planckian_gains(key: jax.Array, n: int, p: float, dtype) -> jnp.ndarray:
+    """(n, 3) pre-gated blackbody channel gains (1.0 rows where the bernoulli gate
+    is off). Shared by planckian_jitter and the fused Pallas kernel."""
+    kidx, kgate = jax.random.split(key)
+    idx = jax.random.randint(kidx, (n,), 0, _PLANCKIAN_TABLE.shape[0])
+    # one-hot matmul instead of a gather: tiny-table gathers lower to serialized
+    # dynamic-slices on TPU (measured ~1000x slower than this contraction)
+    onehot = jax.nn.one_hot(idx, _PLANCKIAN_TABLE.shape[0], dtype=dtype)
+    table = jnp.asarray(_PLANCKIAN_TABLE, dtype=dtype)
+    gains = onehot @ table  # (n, 3)
+    gate = jax.random.bernoulli(kgate, p, (n, 1))
+    return jnp.where(gate, gains, 1.0)
+
+
 def planckian_jitter(key: jax.Array, images: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
     """Random blackbody white-balance shift per image. images: (N, 3, H, W)."""
     N = images.shape[0]
-    kidx, kgate = jax.random.split(key)
-    idx = jax.random.randint(kidx, (N,), 0, _PLANCKIAN_TABLE.shape[0])
-    # one-hot matmul instead of a gather: tiny-table gathers lower to serialized
-    # dynamic-slices on TPU (measured ~1000x slower than this contraction)
-    onehot = jax.nn.one_hot(idx, _PLANCKIAN_TABLE.shape[0], dtype=images.dtype)
-    table = jnp.asarray(_PLANCKIAN_TABLE, dtype=images.dtype)
-    gains = (onehot @ table)[:, :, None, None]  # (N, 3, 1, 1)
-    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    gains = jnp.where(gate, gains, 1.0)
+    gains = _planckian_gains(key, N, p, images.dtype)[:, :, None, None]
     return jnp.clip(images * gains, 0.0, 1.0)
 
 
@@ -382,18 +405,12 @@ def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
     return M
 
 
-def _plasma_fractal(
+def _plasma_base_field(
     key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray, max_octave: int = 64
 ) -> jnp.ndarray:
-    """Multi-octave value-noise "plasma" field in [0, 1], per image.
-
-    Iterative bilinear upsample + scaled noise (the spectral shape of
-    diamond-square): octave i's noise amplitude is roughness^i. roughness: (n, 1, 1).
-
-    Octaves are generated only up to `max_octave` (then one bilinear resize to the
-    target): with roughness <= 0.4 the missing octaves' amplitude is < 0.4^5 ~ 1%,
-    visually irrelevant, and this keeps all noise generation + matmuls tiny.
-    """
+    """Un-normalized multi-octave value-noise field at `min(max_octave, max(hw))`
+    resolution (n, s, s). Shared by the XLA path and the fused Pallas kernel (which
+    upsamples + normalizes in-kernel)."""
     H, W = hw
     top = min(max_octave, max(H, W))
     size = 2
@@ -407,6 +424,24 @@ def _plasma_fractal(
         field = jnp.einsum("ij,njk,lk->nil", up, field, up)
         field = field + amp * (jax.random.uniform(sub, (n, size, size)) - 0.5)
         amp = amp * roughness
+    return field
+
+
+def _plasma_fractal(
+    key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray, max_octave: int = 64
+) -> jnp.ndarray:
+    """Multi-octave value-noise "plasma" field in [0, 1], per image.
+
+    Iterative bilinear upsample + scaled noise (the spectral shape of
+    diamond-square): octave i's noise amplitude is roughness^i. roughness: (n, 1, 1).
+
+    Octaves are generated only up to `max_octave` (then one bilinear resize to the
+    target): with roughness <= 0.4 the missing octaves' amplitude is < 0.4^5 ~ 1%,
+    visually irrelevant, and this keeps all noise generation + matmuls tiny.
+    """
+    H, W = hw
+    field = _plasma_base_field(key, n, hw, roughness, max_octave)
+    size = field.shape[-1]
     if size != H or size != W:
         Mh = jnp.asarray(_resize_matrix(H, size))
         Mw = jnp.asarray(_resize_matrix(W, size))
@@ -414,6 +449,27 @@ def _plasma_fractal(
     fmin = jnp.min(field, axis=(1, 2), keepdims=True)
     fmax = jnp.max(field, axis=(1, 2), keepdims=True)
     return (field - fmin) / jnp.maximum(fmax - fmin, 1e-6)
+
+
+def _plasma_params(
+    key: jax.Array,
+    n: int,
+    hw: tuple,
+    roughness=(0.1, 0.4),
+    shade_intensity=(-0.6, 0.0),
+    shade_quantity=(0.0, 0.5),
+    p: float = 1.0,
+):
+    """(base_field (n,s,s), gated intensity (n,), quantity (n,)) for the plasma
+    shadow. Gate folds into intensity (0 shade == no-op for in-range images).
+    Shared by plasma_shadow and the fused Pallas kernel."""
+    kr, ki, kq, kf, kgate = jax.random.split(key, 5)
+    rough = _uniform(kr, (n, 1, 1), *roughness)
+    intensity = _uniform(ki, (n,), *shade_intensity)
+    quantity = _uniform(kq, (n,), *shade_quantity)
+    gate = jax.random.bernoulli(kgate, p, (n,))
+    field = _plasma_base_field(kf, n, hw, rough)
+    return field, jnp.where(gate, intensity, 0.0), quantity
 
 
 def plasma_shadow(
@@ -426,15 +482,21 @@ def plasma_shadow(
 ) -> jnp.ndarray:
     """Darken a random fractal-shaped region of each image. images: (N, 3, H, W)."""
     N, _, H, W = images.shape
-    kr, ki, kq, kf, kgate = jax.random.split(key, 5)
-    rough = _uniform(kr, (N, 1, 1), *roughness)
-    intensity = _uniform(ki, (N, 1, 1, 1), *shade_intensity)
-    quantity = _uniform(kq, (N, 1, 1), *shade_quantity)
-    plasma = _plasma_fractal(kf, N, (H, W), rough)
-    shade = jnp.where(plasma < quantity, 1.0, 0.0)[:, None] * intensity
-    shadowed = jnp.clip(images + shade.astype(images.dtype), 0.0, 1.0)
-    gate = jax.random.bernoulli(kgate, p, (N, 1, 1, 1))
-    return jnp.where(gate, shadowed, images)
+    field, intensity, quantity = _plasma_params(
+        key, N, (H, W), roughness, shade_intensity, shade_quantity, p
+    )
+    size = field.shape[-1]
+    if size != H or size != W:
+        Mh = jnp.asarray(_resize_matrix(H, size))
+        Mw = jnp.asarray(_resize_matrix(W, size))
+        field = jnp.einsum("ij,njk,lk->nil", Mh, field, Mw)
+    fmin = jnp.min(field, axis=(1, 2), keepdims=True)
+    fmax = jnp.max(field, axis=(1, 2), keepdims=True)
+    plasma = (field - fmin) / jnp.maximum(fmax - fmin, 1e-6)
+    shade = jnp.where(plasma < quantity[:, None, None], 1.0, 0.0)[:, None] * intensity[
+        :, None, None, None
+    ]
+    return jnp.clip(images + shade.astype(images.dtype), 0.0, 1.0)
 
 
 # ───────────────────────────── random erasing ─────────────────────────────
@@ -498,6 +560,47 @@ def salt_and_pepper(
 #  argus/utils.py:252-275 + argus/data.py:213-215)
 
 
+def _arc_params(key: jax.Array, n: int, n_arcs: int, H: int, W: int, width_range=(1.0, 5.0)):
+    """Sample the per-arc scalars, packed (n, n_arcs, 10) as
+    [cx, cy, inv_rx, inv_ry, half_w_scaled, ux, uy, vx, vy, wide].
+
+    Shared by the XLA renderer below and the fused Pallas kernel (identical
+    sampling order => identical arcs on both paths)."""
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    # bbox: (x0, y0) uniform; (x1, y1) uniform in [x0, W) x [y0, H)  (PIL recipe)
+    x0 = _uniform(k1, (n, n_arcs), 0.0, W)
+    y0 = _uniform(k2, (n, n_arcs), 0.0, H)
+    x1 = x0 + _uniform(k3, (n, n_arcs), 0.0, 1.0) * (W - x0)
+    y1 = y0 + _uniform(k4, (n, n_arcs), 0.0, 1.0) * (H - y0)
+    a0 = _uniform(k5, (n, n_arcs), 0.0, 360.0)
+    a1 = _uniform(k6, (n, n_arcs), 0.0, 360.0)
+    width = _uniform(k7, (n, n_arcs), *width_range)
+
+    cx = (x0 + x1) / 2.0
+    cy = (y0 + y1) / 2.0
+    rx = jnp.maximum((x1 - x0) / 2.0, 1e-3)
+    ry = jnp.maximum((y1 - y0) / 2.0, 1e-3)
+    r_min = jnp.minimum(rx, ry)
+    sweep = (a1 - a0) % 360.0
+    ux, uy = jnp.cos(jnp.deg2rad(a0)), jnp.sin(jnp.deg2rad(a0))
+    vx, vy = jnp.cos(jnp.deg2rad(a1)), jnp.sin(jnp.deg2rad(a1))
+    return jnp.stack(
+        [
+            cx,
+            cy,
+            1.0 / rx,
+            1.0 / ry,
+            width / (2.0 * r_min),
+            ux,
+            uy,
+            vx,
+            vy,
+            (sweep > 180.0).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 def spaghetti_arcs(
     key: jax.Array,
     images: jnp.ndarray,
@@ -516,22 +619,7 @@ def spaghetti_arcs(
     if n_arcs <= 0:
         return images
     N, _, H, W = images.shape
-    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
-    # bbox: (x0, y0) uniform; (x1, y1) uniform in [x0, W) x [y0, H)  (PIL recipe)
-    x0 = _uniform(k1, (N, n_arcs), 0.0, W)
-    y0 = _uniform(k2, (N, n_arcs), 0.0, H)
-    x1 = x0 + _uniform(k3, (N, n_arcs), 0.0, 1.0) * (W - x0)
-    y1 = y0 + _uniform(k4, (N, n_arcs), 0.0, 1.0) * (H - y0)
-    a0 = _uniform(k5, (N, n_arcs), 0.0, 360.0)
-    a1 = _uniform(k6, (N, n_arcs), 0.0, 360.0)
-    width = _uniform(k7, (N, n_arcs), *width_range)
-
-    cx = (x0 + x1) / 2.0
-    cy = (y0 + y1) / 2.0
-    rx = jnp.maximum((x1 - x0) / 2.0, 1e-3)
-    ry = jnp.maximum((y1 - y0) / 2.0, 1e-3)
-    r_min = jnp.minimum(rx, ry)
-    sweep = (a1 - a0) % 360.0
+    p = _arc_params(key, N, n_arcs, H, W, width_range)  # (N, n_arcs, 10)
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1)
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W)
@@ -541,22 +629,80 @@ def spaghetti_arcs(
     #   sweep <= 180: cross(u,p) >= 0 AND cross(p,v) >= 0
     #   sweep  > 180: cross(u,p) >= 0 OR  cross(p,v) >= 0
     # (sign-only test — no normalization, no transcendentals per pixel)
-    ux, uy = jnp.cos(jnp.deg2rad(a0)), jnp.sin(jnp.deg2rad(a0))
-    vx, vy = jnp.cos(jnp.deg2rad(a1)), jnp.sin(jnp.deg2rad(a1))
-
     occluded = jnp.zeros((N, H, W), bool)
     for i in range(n_arcs):
-        dx = (xx[None] - cx[:, i, None, None]) / rx[:, i, None, None]
-        dy = (yy[None] - cy[:, i, None, None]) / ry[:, i, None, None]
+        cx, cy, irx, iry, hws, ux, uy, vx, vy, wide = [
+            p[:, i, k, None, None] for k in range(10)
+        ]
+        dx = (xx[None] - cx) * irx
+        dy = (yy[None] - cy) * iry
         rho = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
-        on_ring = jnp.abs(rho - 1.0) * r_min[:, i, None, None] < width[:, i, None, None] / 2.0
-        cu = ux[:, i, None, None] * dy - uy[:, i, None, None] * dx  # cross(u, p)
-        cv = dx * vy[:, i, None, None] - dy * vx[:, i, None, None]  # cross(p, v)
-        wide = (sweep[:, i] > 180.0)[:, None, None]
-        in_sweep = jnp.where(wide, (cu >= 0) | (cv >= 0), (cu >= 0) & (cv >= 0))
+        on_ring = jnp.abs(rho - 1.0) < hws
+        cu = ux * dy - uy * dx  # cross(u, p)
+        cv = dx * vy - dy * vx  # cross(p, v)
+        in_sweep = jnp.where(wide > 0.5, (cu >= 0) | (cv >= 0), (cu >= 0) & (cv >= 0))
         occluded = occluded | (on_ring & in_sweep)
 
     return jnp.where(occluded[:, None], jnp.zeros((), images.dtype), images)
+
+
+# ───────────────────────────── fused pallas path ─────────────────────────────
+
+
+def _apply_fused(cfg, keys, per_cam, B, n_cams, mesh):
+    """Pack per-image parameters (SAME key splits as the per-op path below) and run
+    the whole-stack Pallas kernel (ops/pallas/augment_fused.py). per_cam:
+    (B*n_cams, 3, H, W)."""
+    from argus_tpu.ops.pallas.augment_fused import fused_augment
+
+    N, _, H, W = per_cam.shape
+    f32 = jnp.float32
+    n_arcs = cfg.num_spaghetti
+    arc_p = (
+        _arc_params(keys[0], N, n_arcs, H, W).reshape(N, -1)
+        if n_arcs > 0
+        else jnp.zeros((N, 0), f32)
+    )
+    gains = _planckian_gains(keys[3], N, 0.5, per_cam.dtype).astype(f32)
+    jig, order = _jiggle_params(keys[4], B, n_cams, cfg, f32)
+    gw, ggate = _gaussian_taps(keys[5], N)
+    mk, mgate = _motion_kernel(keys[6], N)
+    field, intensity, quantity = _plasma_params(keys[7], N, (H, W))
+    packed = jnp.concatenate(
+        [
+            arc_p.astype(f32),
+            gains,
+            jig.astype(f32),
+            gw.astype(f32),
+            mk.reshape(N, 9).astype(f32),
+            ggate[:, None].astype(f32),
+            mgate[:, None].astype(f32),
+            intensity[:, None].astype(f32),
+            quantity[:, None].astype(f32),
+        ],
+        axis=1,
+    )
+    S = field.shape[-1]
+    mh = jnp.asarray(_resize_matrix(H, S))
+    mwt = jnp.asarray(_resize_matrix(W, S)).T
+    order = order.astype(jnp.int32)[None]
+    field = field.astype(f32)
+    interpret = jax.default_backend() == "cpu"
+
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as _P
+
+        run = jax.shard_map(
+            lambda im, fl, pk, mh_, mwt_, od: fused_augment(
+                im, fl, mh_, mwt_, pk, od, n_arcs=n_arcs, interpret=interpret
+            ),
+            mesh=mesh,
+            in_specs=(_P("data"), _P("data"), _P("data"), _P(), _P(), _P()),
+            out_specs=_P("data"),
+            check_vma=False,
+        )
+        return run(per_cam, field, packed, mh, mwt, order)
+    return fused_augment(per_cam, field, mh, mwt, packed, order, n_arcs=n_arcs, interpret=interpret)
 
 
 # ───────────────────────────── full stack ─────────────────────────────
@@ -595,6 +741,25 @@ def apply_augmentation(
     per_cam = per_cam.reshape(B * n_cams, 3, H, W)
 
     keys = jax.random.split(key, 9)
+
+    fused_flag = getattr(cfg, "pallas_fused", False)
+    if fused_flag == "auto":
+        fused_flag = jax.default_backend() == "tpu"
+    fused_ok = (
+        fused_flag
+        and cfg.color_jiggle
+        and cfg.planckian_jitter
+        and cfg.blur
+        and cfg.motion_blur
+        and cfg.plasma_shadow
+        and not cfg.random_erasing
+        and not cfg.salt_and_pepper
+    )
+    if fused_ok:
+        per_cam = _apply_fused(cfg, keys, per_cam, B, n_cams, mesh)
+        out = per_cam.reshape(B, n_cams, 3, H, W)
+        out = jnp.transpose(out, (0, 3, 4, 1, 2)).reshape(B, H, W, n_cams * 3)
+        return out
 
     if cfg.num_spaghetti > 0:
         per_cam = spaghetti_arcs(keys[0], per_cam, cfg.num_spaghetti)
