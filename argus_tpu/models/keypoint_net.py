@@ -63,6 +63,8 @@ class CubeKeypointNetConfig:
     head_features: int = 128
     heatmap_stride: int = 8
     dtype: str = "float32"
+    # frozen-BN fine-tune mode for the shared encoder (see models/pose_cnn.py)
+    bn_frozen: bool = False
 
 
 class CubeKeypointNet(nn.Module):
@@ -86,7 +88,9 @@ class CubeKeypointNet(nn.Module):
         per_cam = x.reshape(B, H, W, cfg.n_cams, 3)
         per_cam = jnp.moveaxis(per_cam, 3, 1).reshape(B * cfg.n_cams, H, W, 3)
 
-        backbone = BACKBONES[cfg.backbone](output_dim=None, dtype=dtype, name="backbone")
+        backbone = BACKBONES[cfg.backbone](
+            output_dim=None, dtype=dtype, bn_frozen=cfg.bn_frozen, name="backbone"
+        )
         feats = backbone(per_cam, train=train, return_spatial=True)  # (N, H/32, W/32, C')
 
         # upsampling head: resize-conv blocks from stride 32 to heatmap_stride

@@ -54,6 +54,16 @@ class NCameraCNNConfig:
     bn_stats_stride: int = 1
     bn_grad_stride: int = 1
     bn_impl: str = "xla"  # "xla" | "pallas" | "auto" — reduction engine (ops/norm.py)
+    # Frozen-BN fine-tune mode (torchvision FrozenBatchNorm2d semantics): normalize
+    # with the stored running statistics even at train time; scale/bias stay
+    # trainable; running stats are not updated. Standard practice for fine-tuning
+    # ImageNet-pretrained backbones (the reference's flagship configuration,
+    # argus/models.py:43 pretrained=True) — and the single biggest measured
+    # throughput lever on v5e: it removes the batch-statistics pass and the
+    # batch-coupling terms of the BN backward (which force conv activations to be
+    # re-read from HBM). Measured: 141.6 -> 122.1 ms/step at B=128 (docs/
+    # ROUND2_NOTES.md). Convergence evidence: tests/test_accuracy_proxy.py.
+    bn_frozen: bool = False
 
 
 class NCameraCNN(nn.Module):
@@ -88,6 +98,7 @@ class NCameraCNN(nn.Module):
             bn_stats_stride=cfg.bn_stats_stride,
             bn_grad_stride=cfg.bn_grad_stride,
             bn_impl=cfg.bn_impl,
+            bn_frozen=cfg.bn_frozen,
             name="backbone",
         )
         feats = backbone(x, train=train)  # (B * n_cams, resnet_output_dim)

@@ -154,6 +154,9 @@ class ResNet(nn.Module):
     bn_stats_stride: int = 1
     bn_grad_stride: int = 1
     bn_impl: str = "xla"  # "xla" | "pallas" | "auto" (pallas reduce kernels on TPU)
+    # frozen-BN fine-tune mode: normalize with running stats even when train=True
+    # (torchvision FrozenBatchNorm2d semantics; see models/pose_cnn.py rationale)
+    bn_frozen: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -163,7 +166,7 @@ class ResNet(nn.Module):
         conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = functools.partial(
             BatchNorm,
-            use_running_average=not train,
+            use_running_average=(not train) or self.bn_frozen,
             momentum=self.norm_momentum,
             epsilon=self.norm_eps,
             dtype=self.dtype,

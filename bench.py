@@ -56,8 +56,19 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     hw = (256, 256)
 
+    # The flagship configuration is a fine-tune of an ImageNet-pretrained ResNet-50
+    # (the reference's only published mode, argus/models.py:43 pretrained=True), so
+    # the default benches frozen-BN fine-tune semantics (torchvision
+    # FrozenBatchNorm2d; models/pose_cnn.py rationale + docs/ROUND2_NOTES.md
+    # measurements). BENCH_BN=exact benches train-mode batch statistics instead.
+    bn_mode = os.environ.get("BENCH_BN", "frozen")
     cfg = TrainConfig(
-        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet50", resnet_output_dim=1024),
+        model_config=NCameraCNNConfig(
+            n_cams=2,
+            backbone="resnet50",
+            resnet_output_dim=1024,
+            bn_frozen=(bn_mode == "frozen"),
+        ),
         augmentation_config=AugmentationConfig(),
         use_augmentation=True,
         amp=True,  # bf16 compute
@@ -141,6 +152,7 @@ def main() -> None:
                     "batch_size": batch_size,
                     "inference_p50_ms": round(p50_ms, 3),
                     "final_train_loss": float(loss),
+                    "bn_mode": bn_mode,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     # the denominator is an ESTIMATE (no published reference numbers)

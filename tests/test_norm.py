@@ -287,3 +287,75 @@ def test_pallas_impl_matches_xla_impl():
     np.testing.assert_allclose(g_p["scale"], g_x["scale"], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(g_p["bias"], g_x["bias"], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-5)
+
+
+def test_frozen_bn_trains_scale_bias_only(xkey):
+    """bn_frozen (FrozenBatchNorm2d semantics): train-mode forward equals the
+    eval-mode forward (running stats, here init mean=0/var=1), running stats are
+    NOT updated, and gradients still flow to scale/bias and upstream."""
+    from argus_tpu.models.resnet import ResNet, BasicBlock
+
+    x, key = xkey
+    x6 = jnp.concatenate([x, x], -1)  # (8,12,10,32) -> any C works
+
+    net = ResNet(stage_sizes=[1], block_cls=BasicBlock, output_dim=8, bn_frozen=True)
+    v = net.init(key, x6, train=False)
+
+    y_train, mut = net.apply(v, x6, train=True, mutable=["batch_stats"])
+    y_eval = net.apply(v, x6, train=False)
+    np.testing.assert_allclose(np.asarray(y_train), np.asarray(y_eval), rtol=1e-5, atol=1e-5)
+    # running stats unchanged (frozen)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v["batch_stats"],
+        mut["batch_stats"],
+    )
+
+    # gradients flow into every param (scale/bias and convs)
+    def loss(params):
+        y = net.apply({"params": params, "batch_stats": v["batch_stats"]}, x6, train=True)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+@pytest.mark.slow
+def test_frozen_bn_convergence():
+    """Frozen-BN fine-tune mode must still learn the toy pose-regression problem
+    (same setup as test_fast_bn_convergence_parity); from a random init its loss
+    bar is looser than exact BN's, but it must clearly beat predicting zeros."""
+    from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+    from argus_tpu.train import TrainConfig, create_train_state, make_train_step
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(
+            n_cams=2, backbone="resnet18", resnet_output_dim=32, bn_frozen=True
+        ),
+        use_augmentation=False,
+        wandb_log=False,
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+    step = make_train_step(model, cfg, base_seed=0)
+    rng = np.random.default_rng(0)
+    n = 16
+    tx = rng.uniform(-0.1, 0.1, (n,)).astype(np.float32)
+    base = (tx[:, None, None, None] * 5 + 0.5) * 255 * np.ones((n, 32, 32, 6), np.float32)
+    noise = rng.normal(0.0, 20.0, base.shape).astype(np.float32)
+    imgs = np.clip(base + noise, 0, 255).astype(np.uint8)
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (n, 1))
+    poses[:, 0] = tx
+    batch = {
+        "images": jnp.asarray(imgs),
+        "cube_pose": jnp.asarray(poses),
+        "mask": jnp.ones((n,), jnp.float32),
+    }
+    losses = []
+    for _ in range(60):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    final = np.mean(losses[-10:])
+    # predicting zeros scores ~mean(tx^2) ~ 3.3e-3; frozen BN must decisively beat it
+    assert final < 2e-3, final
