@@ -1,5 +1,6 @@
-"""A/B the flagship train step across (bn_mode, stem_s2d, batch) combos on the
-real chip. Usage: python .bench/bench_flagship.py frozen,0,128 frozen,1,128 ..."""
+"""A/B the flagship train step across (bn_mode, stem_s2d, batch[, remat]) combos
+on the real chip. remat: '-'=off, 'all', or digits = stage indices (e.g. '01').
+Usage: python .bench/bench_flagship.py frozen,0,128 frozen,0,128,01 ..."""
 import sys, time
 
 sys.path.insert(0, "/root/repo")
@@ -15,16 +16,21 @@ from argus_tpu.train import TrainConfig, create_train_state, make_train_step
 hw = (256, 256)
 combos = []
 for a in sys.argv[1:]:
-    m, s2d, b = a.split(",")
-    combos.append((m, bool(int(s2d)), int(b)))
+    parts = a.split(",")
+    m, s2d, b = parts[0], parts[1], parts[2]
+    rm = parts[3] if len(parts) > 3 else "-"
+    combos.append((m, bool(int(s2d)), int(b), rm))
 if not combos:
-    combos = [("frozen", False, 128), ("frozen", True, 128), ("frozen", False, 192)]
+    combos = [("frozen", False, 128, "-"), ("frozen", True, 128, "-"), ("frozen", False, 192, "-")]
 
-for mode, s2d, B in combos:
+for mode, s2d, B, rm in combos:
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2, backbone="resnet50", resnet_output_dim=1024,
-            bn_frozen=(mode == "frozen"), stem_space_to_depth=s2d,
+            bn_frozen=mode.startswith("frozen"), bn_frozen_affine=(mode == "frozenaff"),
+            stem_space_to_depth=s2d,
+            remat=(rm == "all"),
+            remat_stages=tuple(int(c) for c in rm) if rm not in ("-", "all") else (),
         ),
         use_augmentation=True, amp=True, wandb_log=False,
     )
@@ -49,7 +55,7 @@ for mode, s2d, B in combos:
     final = float(loss)
     dt = (time.perf_counter() - t0) / n
     print(
-        f"bn={mode} s2d={int(s2d)} B={B}: {dt*1e3:.1f} ms/step  {2*B/dt:.0f} cam-img/s  "
-        f"loss={final:.5f}  (compile {compile_s:.0f}s)",
+        f"bn={mode} s2d={int(s2d)} B={B} remat={rm}: {dt*1e3:.1f} ms/step  "
+        f"{2*B/dt:.0f} cam-img/s  loss={final:.5f}  (compile {compile_s:.0f}s)",
         flush=True,
     )

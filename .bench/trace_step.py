@@ -18,7 +18,8 @@ B = int(os.environ.get("BENCH_BATCH", 128))
 hw = (256, 256)
 cfg = TrainConfig(
     model_config=NCameraCNNConfig(
-        n_cams=2, backbone="resnet50", resnet_output_dim=1024, bn_frozen=(bn_mode == "frozen")
+        n_cams=2, backbone="resnet50", resnet_output_dim=1024,
+        bn_frozen=bn_mode.startswith("frozen"), bn_frozen_affine=(bn_mode == "frozenaff"),
     ),
     use_augmentation=True, amp=True, wandb_log=False,
 )

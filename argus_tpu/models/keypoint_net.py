@@ -65,6 +65,7 @@ class CubeKeypointNetConfig:
     dtype: str = "float32"
     # frozen-BN fine-tune mode for the shared encoder (see models/pose_cnn.py)
     bn_frozen: bool = False
+    bn_frozen_affine: bool = False
 
 
 class CubeKeypointNet(nn.Module):
@@ -89,7 +90,11 @@ class CubeKeypointNet(nn.Module):
         per_cam = jnp.moveaxis(per_cam, 3, 1).reshape(B * cfg.n_cams, H, W, 3)
 
         backbone = BACKBONES[cfg.backbone](
-            output_dim=None, dtype=dtype, bn_frozen=cfg.bn_frozen, name="backbone"
+            output_dim=None,
+            dtype=dtype,
+            bn_frozen=cfg.bn_frozen,
+            bn_frozen_affine=cfg.bn_frozen_affine,
+            name="backbone",
         )
         feats = backbone(per_cam, train=train, return_spatial=True)  # (N, H/32, W/32, C')
 

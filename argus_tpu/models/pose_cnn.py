@@ -64,6 +64,25 @@ class NCameraCNNConfig:
     # re-read from HBM). Measured: 141.6 -> 122.1 ms/step at B=128 (docs/
     # ROUND2_NOTES.md). Convergence evidence: tests/test_accuracy_proxy.py.
     bn_frozen: bool = False
+    # Full torchvision FrozenBatchNorm2d: freeze scale/bias too (buffers, no
+    # gradients). With the affine trainable the backward still computes
+    # dgamma=sum(dy*xhat)/dbeta=sum(dy), re-reading every conv activation from HBM
+    # (36 ms of the 120 ms step, outputs/traces/step_frozen); freezing the affine
+    # makes those reductions dead code. Flagship default (bench.py BENCH_BN=frozen).
+    bn_frozen_affine: bool = False
+    # Fused Pallas pointwise-conv path for bottleneck 1x1 convs ("auto"|"on"|
+    # "off"; only legal under bn_frozen+bn_frozen_affine — models/resnet.py,
+    # ops/pallas/pointwise.py). Default OFF: measured SLOWER than XLA at the
+    # flagship shapes (142 vs 104 ms/step) because Pallas operands require the
+    # default row-major layout while XLA keeps conv activations in {3,0,2,1},
+    # so every Pallas/conv boundary pays a layout-copy pass (~25 ms/step of
+    # copies, outputs/traces/step_pw; full analysis in docs/ROUND2_NOTES.md).
+    fuse_pointwise: str = "off"
+    # Rematerialize residual blocks in the backward pass (see models/resnet.py):
+    # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
+    # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.
+    remat: bool = False
+    remat_stages: tuple = ()
 
 
 class NCameraCNN(nn.Module):
@@ -99,6 +118,10 @@ class NCameraCNN(nn.Module):
             bn_grad_stride=cfg.bn_grad_stride,
             bn_impl=cfg.bn_impl,
             bn_frozen=cfg.bn_frozen,
+            bn_frozen_affine=cfg.bn_frozen_affine,
+            fuse_pointwise=cfg.fuse_pointwise,
+            remat=cfg.remat,
+            remat_stages=cfg.remat_stages,
             name="backbone",
         )
         feats = backbone(x, train=train)  # (B * n_cams, resnet_output_dim)

@@ -23,6 +23,7 @@ import functools
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from argus_tpu.ops.norm import BatchNorm
@@ -89,8 +90,58 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter holder matching `nn.Conv`'s variable layout for a bias-free 1x1
+    conv — used by the fused pointwise path so the param tree (and therefore
+    checkpoints and the torchvision importer) is IDENTICAL to the unfused path.
+    Flax derives param RNG keys from the module path, so with the same explicit
+    names the init values match the unfused path bit-for-bit."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, in_features, self.features),
+            jnp.float32,
+        )
+
+
+class _FrozenBNParams(nn.Module):
+    """Parameter holder matching `ops.norm.BatchNorm`'s variable layout (params:
+    scale/bias; batch_stats: mean/var), returning the raw frozen buffers for the
+    fused pointwise path (models/resnet.py fused BottleneckBlock)."""
+
+    scale_init: Callable = nn.initializers.ones_init()
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", self.scale_init, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (features,), jnp.float32
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (features,), jnp.float32
+        )
+        # full FrozenBatchNorm2d: scale/bias are buffers, not trainables
+        return (
+            jax.lax.stop_gradient(scale),
+            jax.lax.stop_gradient(bias),
+            mean.value,
+            var.value,
+        )
+
+
 class BottleneckBlock(nn.Module):
-    """1x1 -> 3x3 -> 1x1 residual block (ResNet-50/101/152), expansion 4."""
+    """1x1 -> 3x3 -> 1x1 residual block (ResNet-50/101/152), expansion 4.
+
+    With `fuse_pointwise` (only legal under bn_frozen + bn_frozen_affine) the two
+    1x1 convs run as Pallas fused matmul kernels with the frozen-BN affine folded
+    into the weights and relu/residual in the epilogue, plus a single-pass
+    combined backward (ops/pallas/pointwise.py). The variable tree is unchanged."""
 
     filters: int
     strides: int
@@ -98,9 +149,13 @@ class BottleneckBlock(nn.Module):
     norm: ModuleDef
 
     expansion: int = 4
+    fuse_pointwise: bool = False
+    pw_impl: str = "auto"  # forwarded to pointwise_conv_frozen_bn
 
     @nn.compact
     def __call__(self, x):
+        if self.fuse_pointwise:
+            return self._call_fused(x)
         residual = x
         y = self.conv(self.filters, (1, 1), padding="VALID")(x)
         y = self.norm()(y)
@@ -120,6 +175,44 @@ class BottleneckBlock(nn.Module):
             residual = self.norm(name="norm_proj")(residual)
 
         return nn.relu(y + residual)
+
+    def _call_fused(self, x):
+        from argus_tpu.ops.pallas.pointwise import pointwise_conv_frozen_bn
+
+        eps = self.norm.keywords.get("epsilon", 1e-5)
+        cin = x.shape[-1]
+        cout = self.filters * self.expansion
+
+        k1 = _Conv1x1Params(self.filters, name="Conv_0")(cin)
+        s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(self.filters)
+        y = pointwise_conv_frozen_bn(
+            x, k1, s1, b1, m1, v1, eps=eps, relu=True, impl=self.pw_impl
+        )
+
+        y = self.conv(
+            self.filters,
+            (3, 3),
+            (self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            name="Conv_1",
+        )(y)
+        y = self.norm(name="BatchNorm_1")(y)
+        y = nn.relu(y)
+
+        residual = x
+        if self.strides != 1 or cin != cout:
+            residual = self.conv(
+                cout, (1, 1), (self.strides, self.strides), padding="VALID", name="conv_proj"
+            )(residual)
+            residual = self.norm(name="norm_proj")(residual)
+
+        k3 = _Conv1x1Params(cout, name="Conv_2")(self.filters)
+        s3, b3, m3, v3 = _FrozenBNParams(
+            scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
+        )(cout)
+        return pointwise_conv_frozen_bn(
+            y, k3, s3, b3, m3, v3, eps=eps, relu=True, residual=residual, impl=self.pw_impl
+        )
 
 
 class ResNet(nn.Module):
@@ -147,8 +240,13 @@ class ResNet(nn.Module):
     # weights are rewritten losslessly (conv1_kernel_to_s2d).
     stem_space_to_depth: bool = False
     # rematerialize residual blocks in the backward pass: trades FLOPs for HBM
-    # traffic (the step is BN-reduction/HBM-bound, see CLAUDE.md profile)
+    # traffic (the step is HBM-roofline-bound, see CLAUDE.md profile). `remat=True`
+    # checkpoints every block; `remat_stages` checkpoints only the listed stage
+    # indices (0-3) — the early stages hold the large spatial activations (stage 0
+    # at 64x64 is ~half the backbone's activation bytes but a small fraction of its
+    # FLOPs, so selective remat buys bytes cheaply).
     remat: bool = False
+    remat_stages: Sequence[int] = ()
     # HBM-lean BatchNorm training mode (ops/norm.py): H-strided batch statistics /
     # dgamma-dbeta subsampling. 1/1 = exact flax/torch semantics.
     bn_stats_stride: int = 1
@@ -157,6 +255,16 @@ class ResNet(nn.Module):
     # frozen-BN fine-tune mode: normalize with running stats even when train=True
     # (torchvision FrozenBatchNorm2d semantics; see models/pose_cnn.py rationale)
     bn_frozen: bool = False
+    # full FrozenBatchNorm2d: freeze scale/bias too (torchvision keeps all four as
+    # buffers). Kills the dgamma/dbeta activation re-reads in the backward — the
+    # dominant remaining HBM cost of the bn_frozen step (see ops/norm.py).
+    bn_frozen_affine: bool = False
+    # Fused Pallas pointwise-conv path for bottleneck 1x1 convs (requires
+    # bn_frozen + bn_frozen_affine; ops/pallas/pointwise.py). "auto" = on when
+    # running on TPU; "on" forces the op (XLA fallback math on CPU); "off".
+    # Default off — measured slower than XLA at flagship shapes due to layout
+    # copies at every Pallas/conv boundary (see models/pose_cnn.py note).
+    fuse_pointwise: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -173,6 +281,7 @@ class ResNet(nn.Module):
             stats_stride=self.bn_stats_stride,
             grad_stride=self.bn_grad_stride,
             impl=self.bn_impl,
+            frozen_affine=self.bn_frozen and self.bn_frozen_affine,
         )
 
         x = x.astype(self.dtype)
@@ -187,8 +296,19 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
+        fuse_pw = (
+            self.block_cls is BottleneckBlock
+            and self.bn_frozen
+            and self.bn_frozen_affine
+            and (
+                self.fuse_pointwise == "on"
+                or (self.fuse_pointwise == "auto" and jax.default_backend() == "tpu")
+            )
+        )
+        block_kwargs = {"fuse_pointwise": True} if fuse_pw else {}
+        remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
+            block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = block_cls(
@@ -197,6 +317,7 @@ class ResNet(nn.Module):
                     conv=conv,
                     norm=norm,
                     name=f"stage{i}_block{j}",
+                    **block_kwargs,
                 )(x)
 
         if return_spatial:

@@ -145,6 +145,15 @@ class BatchNorm(nn.Module):
     stats_stride: int = 1
     grad_stride: int = 1
     impl: str = "xla"  # "xla" | "pallas" | "auto"
+    # Freeze scale/bias too (full torchvision FrozenBatchNorm2d semantics: all four
+    # of weight/bias/mean/var are non-trainable buffers). Only meaningful together
+    # with use_running_average=True (the frozen-stats path). Beyond parity this is
+    # a large measured perf lever: with trainable affine the backward must compute
+    # dgamma=sum(dy*xhat)/dbeta=sum(dy), which re-reads every conv activation from
+    # HBM (36 ms of the 120 ms flagship step, outputs/traces/step_frozen); with the
+    # affine frozen those reductions are dead code and dx is a pure elementwise
+    # scale that fuses into the conv backward.
+    frozen_affine: bool = False
 
     def _impl(self) -> str:
         if self.impl == "auto":
@@ -166,6 +175,9 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
             rstd = jax.lax.rsqrt(var + self.epsilon)
+            if self.frozen_affine:
+                scale = jax.lax.stop_gradient(scale)
+                bias = jax.lax.stop_gradient(bias)
             return ((x - mean.astype(dt)) * rstd.astype(dt)) * scale.astype(dt) + bias.astype(dt)
 
         impl = self._impl()

@@ -212,12 +212,28 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
     forward, loss, backward, clipped Adam update — is ONE XLA program.
 
     mesh: pass the active Mesh when the batch is sharded over a >1-device "data"
-    axis so the Pallas blur kernel runs shard_map-ped per device (ops/augment.py)."""
+    axis so the Pallas blur kernel runs shard_map-ped per device (ops/augment.py).
+
+    Pure-DP meshes (n_model == 1) with frozen-BN models run the loss+gradient
+    computation under `shard_map` with an explicit `psum` of gradients — the
+    idiomatic XLA-collective equivalent of DDP's backward all-reduce
+    (reference: argus/train.py:199,316) — which also lets the fused Pallas
+    kernels (pointwise conv, whole-stack augmentation) run per-shard without
+    needing SPMD partitioning rules. Meshes with a model axis (TP) or exact
+    train-mode BN (whose batch statistics are computed over the GLOBAL batch, a
+    strengthening of DDP's per-replica stats) keep the GSPMD path."""
     tx = make_optimizer(cfg.max_grad_norm)
     aug_cfg = cfg.augmentation_config
     model_type = getattr(cfg, "model_type", "pose_cnn")
     n_cams = (
         cfg.keypoint_config.n_cams if model_type == "keypoint" else cfg.model_config.n_cams
+    )
+    mcfg = cfg.keypoint_config if model_type == "keypoint" else cfg.model_config
+    shmap_dp = (
+        mesh is not None
+        and mesh.shape.get("data", 1) > 1
+        and mesh.shape.get("model", 1) == 1
+        and getattr(mcfg, "bn_frozen", False)
     )
     # under amp the whole input pipeline (convert + augment) runs in bf16: half the
     # HBM traffic for the hottest elementwise stage, and the model consumes bf16 anyway
@@ -228,6 +244,52 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
         cam_P = nominal_camera_matrices(*crop)
     else:
         cam_P = None
+
+    def _losses(pred, poses):
+        if model_type == "keypoint":
+            uv, _ = pred
+            return keypoint_loss_fn(uv, poses, cam_P)
+        return geometric_loss_fn(pred, poses)
+
+    def _shard_loss_and_grad(params, batch_stats, images, poses, mask):
+        """Runs per-shard under shard_map: local fwd+bwd of the UNnormalized loss
+        sum, then ONE bucketed all-reduce of [loss_sum, mask_count, flat_grads]
+        (DDP-style gradient bucketing: a single collective per step instead of
+        one per tensor — also works around XLA:CPU's in-process communicator
+        falling over on hundreds of per-tensor all-reduces in the virtual-device
+        test topology). Collectives stay out of the differentiated region, so
+        d(gsum/gcnt)/dp = psum(d lsum/dp) / gcnt exactly."""
+        from jax.flatten_util import ravel_pytree
+
+        def loss_fn(p):
+            pred, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            lsum = jnp.sum(_losses(pred, poses) * mask)
+            return lsum, mutated["batch_stats"]
+
+        (lsum, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        flat, unravel = ravel_pytree(grads)
+        vec = jax.lax.psum(jnp.concatenate([jnp.stack([lsum, jnp.sum(mask)]), flat]), "data")
+        gcnt = jnp.maximum(vec[1], 1.0)
+        loss = vec[0] / gcnt
+        grads = unravel(vec[2:] / gcnt)
+        return loss, nbs, grads
+
+    if shmap_dp:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        _sharded_lg = shard_map(
+            _shard_loss_and_grad,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+            check_rep=False,  # custom-vjp pallas ops defeat the rep checker
+        )
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
@@ -245,16 +307,19 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
                 train=True,
                 mutable=["batch_stats"],
             )
-            if model_type == "keypoint":
-                uv, _ = pred
-                losses = keypoint_loss_fn(uv, batch["cube_pose"], cam_P)
-            else:
-                losses = geometric_loss_fn(pred, batch["cube_pose"])
+            losses = _losses(pred, batch["cube_pose"])
             mask = batch["mask"]
             loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
             return loss, mutated["batch_stats"]
 
-        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if shmap_dp:
+            loss, new_batch_stats, grads = _sharded_lg(
+                state.params, state.batch_stats, images, batch["cube_pose"], batch["mask"]
+            )
+        else:
+            (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)

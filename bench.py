@@ -58,16 +58,19 @@ def main() -> None:
 
     # The flagship configuration is a fine-tune of an ImageNet-pretrained ResNet-50
     # (the reference's only published mode, argus/models.py:43 pretrained=True), so
-    # the default benches frozen-BN fine-tune semantics (torchvision
-    # FrozenBatchNorm2d; models/pose_cnn.py rationale + docs/ROUND2_NOTES.md
-    # measurements). BENCH_BN=exact benches train-mode batch statistics instead.
+    # the default benches frozen-BN fine-tune semantics — full torchvision
+    # FrozenBatchNorm2d: running stats AND scale/bias are non-trainable buffers
+    # (models/pose_cnn.py rationale + docs/ROUND2_NOTES.md measurements).
+    # BENCH_BN=frozentrain keeps scale/bias trainable; BENCH_BN=exact benches
+    # train-mode batch statistics (the reference's literal train step).
     bn_mode = os.environ.get("BENCH_BN", "frozen")
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2,
             backbone="resnet50",
             resnet_output_dim=1024,
-            bn_frozen=(bn_mode == "frozen"),
+            bn_frozen=bn_mode.startswith("frozen"),
+            bn_frozen_affine=(bn_mode == "frozen"),
         ),
         augmentation_config=AugmentationConfig(),
         use_augmentation=True,

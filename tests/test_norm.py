@@ -359,3 +359,40 @@ def test_frozen_bn_convergence():
     final = np.mean(losses[-10:])
     # predicting zeros scores ~mean(tx^2) ~ 3.3e-3; frozen BN must decisively beat it
     assert final < 2e-3, final
+
+
+def test_frozen_affine_bn_no_affine_grads(xkey):
+    """bn_frozen_affine (full torchvision FrozenBatchNorm2d: weight/bias/mean/var
+    are all buffers): forward identical to bn_frozen, scale/bias gradients are
+    exactly zero (the dgamma/dbeta reductions are dead code), conv gradients and
+    upstream gradients still flow."""
+    from argus_tpu.models.resnet import BasicBlock, ResNet
+
+    x, key = xkey
+    x6 = jnp.concatenate([x, x], -1)
+
+    net_a = ResNet(stage_sizes=[1], block_cls=BasicBlock, output_dim=8, bn_frozen=True)
+    net_f = ResNet(
+        stage_sizes=[1], block_cls=BasicBlock, output_dim=8, bn_frozen=True, bn_frozen_affine=True
+    )
+    v = net_a.init(key, x6, train=False)
+
+    # identical forward (the affine values are the same, only differentiability changes)
+    y_a = net_a.apply(v, x6, train=True, mutable=["batch_stats"])[0]
+    y_f = net_f.apply(v, x6, train=True, mutable=["batch_stats"])[0]
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_f))
+
+    def loss(params):
+        y = net_f.apply({"params": params, "batch_stats": v["batch_stats"]}, x6, train=True)
+        return jnp.sum(y**2)
+
+    from flax.traverse_util import flatten_dict
+
+    g = jax.grad(loss)(v["params"])
+    flat = flatten_dict(g, sep="/")
+    bn_leaves = {k: a for k, a in flat.items() if "norm" in k.lower()}
+    conv_leaves = {k: a for k, a in flat.items() if k not in bn_leaves}
+    assert bn_leaves, sorted(flat)
+    for k, a in bn_leaves.items():
+        np.testing.assert_array_equal(np.asarray(a), 0.0, err_msg=k)
+    assert any(float(jnp.abs(a).sum()) > 0 for a in conv_leaves.values())

@@ -4,6 +4,7 @@ the graft dryrun path stays healthy."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from argus_tpu.parallel import batch_sharding, global_batch, make_mesh, param_shardings, replicated
@@ -189,3 +190,59 @@ def test_train_step_pallas_blur_under_data_sharding():
     step = make_train_step(model, cfg, base_seed=0, mesh=mesh)
     new_state, loss = step(state, batch)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_shmap_dp_frozen_bn_matches_single_device():
+    """Pure-DP meshes with frozen-BN models run loss+grad under shard_map with an
+    explicit gradient psum (so the fused Pallas ops run per-shard). The result
+    must match 1-device execution: same loss, same updated params."""
+    from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.ops.augment import AugmentationConfig
+    from argus_tpu.train import TrainConfig, TrainState, create_train_state, make_train_step
+    from argus_tpu.parallel import param_shardings as ps
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(
+            n_cams=2,
+            backbone="resnet50",
+            resnet_output_dim=16,
+            bn_frozen=True,
+            bn_frozen_affine=True,
+            fuse_pointwise="on",  # XLA-math fallback on CPU; same op graph shape
+        ),
+        augmentation_config=AugmentationConfig(num_spaghetti=0),
+        use_augmentation=False,
+        amp=False,
+        wandb_log=False,
+    )
+    rng = np.random.default_rng(1)
+    batch = {
+        "images": rng.integers(0, 256, (8, 32, 32, 6), dtype=np.uint8),
+        "cube_pose": np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (8, 1)),
+        "mask": np.ones((8,), np.float32),
+    }
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_data=n_dev, n_model=1, devices=jax.devices()[:n_dev])
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        state = jax.device_put(
+            state,
+            TrainState(
+                step=ps(state.step, mesh),
+                params=ps(state.params, mesh),
+                batch_stats=ps(state.batch_stats, mesh),
+                opt_state=ps(state.opt_state, mesh),
+                lr=ps(state.lr, mesh),
+            ),
+        )
+        step = make_train_step(model, cfg, base_seed=0, mesh=mesh if n_dev > 1 else None)
+        new_state, loss = step(state, global_batch(mesh, batch))
+        out[n_dev] = (float(loss), jax.device_get(new_state.params))
+
+    assert np.isclose(out[1][0], out[8][0], rtol=1e-5), (out[1][0], out[8][0])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out[1][1]), jax.tree_util.tree_leaves(out[8][1])
+    ):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=0)
