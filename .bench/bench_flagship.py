@@ -27,7 +27,9 @@ for mode, s2d, B, rm in combos:
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2, backbone="resnet50", resnet_output_dim=1024,
-            bn_frozen=mode.startswith("frozen"), bn_frozen_affine=(mode == "frozenaff"),
+            bn_frozen=mode.startswith("frozen"),
+            bn_frozen_affine=mode in ("frozenaff", "frozendot"),
+            fuse_pointwise="dot" if mode == "frozendot" else "off",
             stem_space_to_depth=s2d,
             remat=(rm == "all"),
             remat_stages=tuple(int(c) for c in rm) if rm not in ("-", "all") else (),

@@ -301,11 +301,18 @@ class ResNet(nn.Module):
             and self.bn_frozen
             and self.bn_frozen_affine
             and (
-                self.fuse_pointwise == "on"
+                self.fuse_pointwise in ("on", "dot")
                 or (self.fuse_pointwise == "auto" and jax.default_backend() == "tpu")
             )
         )
-        block_kwargs = {"fuse_pointwise": True} if fuse_pw else {}
+        # "dot" expresses the 1x1 convs as XLA dot_generals (impl="xla" in the
+        # fused op) instead of Pallas kernels — dots can join XLA output fusions,
+        # which conv custom-calls cannot.
+        block_kwargs = (
+            {"fuse_pointwise": True, "pw_impl": "xla" if self.fuse_pointwise == "dot" else "auto"}
+            if fuse_pw
+            else {}
+        )
         remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
             block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls

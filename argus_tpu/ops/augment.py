@@ -636,8 +636,12 @@ def spaghetti_arcs(
         ]
         dx = (xx[None] - cx) * irx
         dy = (yy[None] - cy) * iry
-        rho = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
-        on_ring = jnp.abs(rho - 1.0) < hws
+        # ring test on the SQUARED radius: |rho-1| < hws  <=>  lo^2 < rho^2 < hi^2
+        # with lo = max(1-hws, 0) — saves a per-pixel sqrt per arc (hws < 1 always
+        # at our stroke widths, so the lo=0 center-pixel edge case cannot occur)
+        rho2 = dx * dx + dy * dy
+        lo = jnp.maximum(1.0 - hws, 0.0)
+        on_ring = (rho2 > lo * lo) & (rho2 < (1.0 + hws) * (1.0 + hws))
         cu = ux * dy - uy * dx  # cross(u, p)
         cv = dx * vy - dy * vx  # cross(p, v)
         in_sweep = jnp.where(wide > 0.5, (cu >= 0) | (cv >= 0), (cu >= 0) & (cv >= 0))

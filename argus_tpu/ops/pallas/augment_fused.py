@@ -119,8 +119,11 @@ def _make_kernel(n_arcs: int):
                 cx, cy, irx, iry, hws, ux, uy, vx, vy, wide = (w(10 * a + k) for k in range(10))
                 dx = (xx - cx) * irx
                 dy = (yy - cy) * iry
-                rho = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
-                on_ring = jnp.abs(rho - 1.0) < hws
+                # squared-radius ring test (matches ops/augment.spaghetti_arcs):
+                # saves a per-pixel sqrt per arc on the VPU
+                rho2 = dx * dx + dy * dy
+                lo = jnp.maximum(1.0 - hws, 0.0)
+                on_ring = (rho2 > lo * lo) & (rho2 < (1.0 + hws) * (1.0 + hws))
                 cu = ux * dy - uy * dx
                 cv = dx * vy - dy * vx
                 # select-free (Mosaic can't arith.select i1 vectors): wide sweeps

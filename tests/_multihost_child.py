@@ -36,6 +36,16 @@ def main() -> None:
     from argus_tpu.models import NCameraCNNConfig
     from argus_tpu.train import TrainConfig, TrainState, create_train_state, make_train_step
 
+    # Establish the Gloo collective context NOW, while both processes are still in
+    # lockstep (right after distributed init). Gloo's context rendezvous has a
+    # ~30 s deadline; if the first collective only happens after the minutes-long
+    # contended train-step compile, startup/compile skew between the two children
+    # blows that window (observed: GetKeyValue() DEADLINE_EXCEEDED). A trivial
+    # cross-process reduction compiles in seconds and caches the communicator.
+    warm_mesh = make_mesh(n_data=8, n_model=1)
+    warm = global_batch(warm_mesh, {"x": np.ones((4, 4), np.float32)})
+    assert float(jnp.sum(warm["x"])) == 32.0
+
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
         use_augmentation=False,

@@ -81,7 +81,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=600)
+            # two children compile the train step CONCURRENTLY on this 1-core
+            # box (~5-8 min each when contended) — budget accordingly
+            stdout, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

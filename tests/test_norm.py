@@ -323,16 +323,20 @@ def test_frozen_bn_trains_scale_bias_only(xkey):
 
 
 @pytest.mark.slow
-def test_frozen_bn_convergence():
+@pytest.mark.parametrize("frozen_affine", [False, True])
+def test_frozen_bn_convergence(frozen_affine):
     """Frozen-BN fine-tune mode must still learn the toy pose-regression problem
     (same setup as test_fast_bn_convergence_parity); from a random init its loss
-    bar is looser than exact BN's, but it must clearly beat predicting zeros."""
+    bar is looser than exact BN's, but it must clearly beat predicting zeros.
+    Covers both trainable-affine (bn_frozen) and full FrozenBatchNorm2d
+    (bn_frozen_affine — the flagship bench default)."""
     from argus_tpu.models import NCameraCNN, NCameraCNNConfig
     from argus_tpu.train import TrainConfig, create_train_state, make_train_step
 
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
-            n_cams=2, backbone="resnet18", resnet_output_dim=32, bn_frozen=True
+            n_cams=2, backbone="resnet18", resnet_output_dim=32, bn_frozen=True,
+            bn_frozen_affine=frozen_affine,
         ),
         use_augmentation=False,
         wandb_log=False,
