@@ -503,8 +503,14 @@ def initialize_training(cfg: TrainConfig):
 
 def train(cfg: TrainConfig) -> str:
     """Main training loop (reference: argus/train.py:264-361). Returns the
-    checkpoint path."""
+    checkpoint path.
+
+    Preemption-safe: SIGTERM (the cloud-eviction signal) is latched by a
+    PreemptionGuard; the loop finishes the in-flight step, saves a full-state
+    checkpoint, and returns cleanly so `resume_from` continues the run."""
     from tqdm import tqdm
+
+    from argus_tpu.preemption import PreemptionGuard
 
     setup = initialize_training(cfg)
     mesh = setup["mesh"]
@@ -516,6 +522,8 @@ def train(cfg: TrainConfig) -> str:
 
     lr = float(cfg.learning_rate)
     global_step = int(jax.device_get(state.step))
+    guard = PreemptionGuard().__enter__()
+    preempted = False
     for epoch in tqdm(range(cfg.n_epochs), desc="Epoch", disable=(rank != 0)):
         setup["train_loader"].set_epoch(epoch)
 
@@ -545,7 +553,15 @@ def train(cfg: TrainConfig) -> str:
             pending.append(loss)
             if len(pending) >= 50:
                 flush_pending()
+            if guard.requested:
+                break
         flush_pending()
+
+        if guard.requested:
+            preempted = True
+            rank_print("    Preemption signal received: checkpointing and exiting", rank)
+            logger.log({"preempted": 1}, step=global_step)
+            break
 
         if epoch % cfg.print_epochs == 0:
             rank_print(f"    Avg. Loss in Epoch: {np.mean(epoch_losses):.6f}", rank)
@@ -574,7 +590,10 @@ def train(cfg: TrainConfig) -> str:
             save_checkpoint(ckpt_path, state)
 
     save_checkpoint(ckpt_path, state)
+    guard.__exit__()
     logger.finish()
+    if preempted:
+        rank_print(f"    Preempted at step {global_step}; resumable from {ckpt_path}", rank)
     return ckpt_path
 
 
