@@ -1,5 +1,8 @@
 """A/B the flagship train step across (bn_mode, stem_s2d, batch[, remat]) combos
-on the real chip. remat: '-'=off, 'all', or digits = stage indices (e.g. '01').
+on the real chip. bn_mode semantics match bench.py's BENCH_BN: "frozen" = full
+FrozenBatchNorm2d (affine frozen too), "frozentrain" = frozen stats + trainable
+affine, "exact" = train-mode batch statistics; "frozendot" = frozen + 1x1-as-dot.
+remat: '-'=off, 'all', or digits = stage indices (e.g. '01').
 Usage: python .bench/bench_flagship.py frozen,0,128 frozen,0,128,01 ..."""
 import sys, time
 
@@ -28,7 +31,7 @@ for mode, s2d, B, rm in combos:
         model_config=NCameraCNNConfig(
             n_cams=2, backbone="resnet50", resnet_output_dim=1024,
             bn_frozen=mode.startswith("frozen"),
-            bn_frozen_affine=mode in ("frozenaff", "frozendot"),
+            bn_frozen_affine=mode in ("frozen", "frozenaff", "frozendot"),
             fuse_pointwise="dot" if mode == "frozendot" else "off",
             stem_space_to_depth=s2d,
             remat=(rm == "all"),

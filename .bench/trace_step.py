@@ -1,5 +1,7 @@
 """Capture a device trace of the flagship train step (3 steps).
-Env: BENCH_BN=frozen|exact (default frozen), BENCH_BATCH, TRACE_DIR."""
+Env: BENCH_BN=frozen|frozentrain|exact (same semantics as bench.py: "frozen" =
+full FrozenBatchNorm2d incl. affine, "frozentrain" = frozen stats + trainable
+affine), BENCH_BATCH, TRACE_DIR."""
 import os, sys
 
 sys.path.insert(0, "/root/repo")
@@ -19,7 +21,8 @@ hw = (256, 256)
 cfg = TrainConfig(
     model_config=NCameraCNNConfig(
         n_cams=2, backbone="resnet50", resnet_output_dim=1024,
-        bn_frozen=bn_mode.startswith("frozen"), bn_frozen_affine=(bn_mode == "frozenaff"),
+        bn_frozen=bn_mode.startswith("frozen"),
+        bn_frozen_affine=bn_mode in ("frozen", "frozenaff"),
     ),
     use_augmentation=True, amp=True, wandb_log=False,
 )

@@ -88,6 +88,14 @@ def fused_stats(x: jnp.ndarray, stride: int = 1, interpret: bool = False):
     n_blocks = (M // f) // m_t
     grid = max(1, n_blocks // stride)
 
+    # stride==1 promises EXACT statistics (norm.py contract); if the block size
+    # doesn't tile M exactly the grid would silently drop trailing rows — use a
+    # plain XLA reduction instead (subsampled strides tolerate block granularity
+    # by construction: estimates are over the visited rows, which we report).
+    if stride == 1 and n_blocks * m_t != M // f:
+        x32 = x.reshape(M, C).astype(jnp.float32)
+        return jnp.sum(x32, 0), jnp.sum(jnp.square(x32), 0), M
+
     out_shape = [
         jax.ShapeDtypeStruct((1, Cf), jnp.float32),
         jax.ShapeDtypeStruct((1, Cf), jnp.float32),
@@ -162,6 +170,13 @@ def fused_bn_bwd_reduce(
     m_t = _block_rows(M // f, Cf, stride)
     n_blocks = (M // f) // m_t
     grid = max(1, n_blocks // stride)
+
+    # same exactness guard as fused_stats: stride==1 must not drop trailing rows
+    if stride == 1 and n_blocks * m_t != M // f:
+        x32 = x.reshape(M, C).astype(jnp.float32)
+        dy32 = dy.reshape(M, C).astype(jnp.float32)
+        xhat = (x32 - mean.astype(jnp.float32)) * rstd.astype(jnp.float32)
+        return jnp.sum(dy32, 0), jnp.sum(dy32 * xhat, 0), M
 
     out_shape = [
         jax.ShapeDtypeStruct((1, Cf), jnp.float32),

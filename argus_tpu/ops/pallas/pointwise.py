@@ -55,15 +55,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tile_m(m: int, cin: int, cout: int, itemsize: int, n_bufs: int) -> int:
     """Largest row-tile dividing `m` whose double-buffered VMEM footprint stays
-    under ~8 MB, given `n_bufs` (M, C)-shaped buffers live per step. `m` is
-    always a multiple of 8 here (m = N*H*W with H*W >= 64), so the decrement
-    loop terminates with an exact divisor — no masking needed in the kernels."""
+    under ~8 MB, given `n_bufs` (M, C)-shaped buffers live per step. Prefers
+    multiples of 8 (sublane-aligned); when no such divisor exists (m = N*H*W
+    with an odd factor, e.g. 7x7 stage maps at 224x224 inputs) it falls back to
+    the largest small divisor — partially-padded blocks are correct, just less
+    efficient. Exact divisibility means no masking is needed in the kernels."""
     budget = 8 * 1024 * 1024
     per_row = n_bufs * max(cin, cout) * itemsize * 2  # x2: pallas double-buffers
     tm = min(m, 2048, max(budget // max(per_row, 1), 8))
     tm = max(8, (tm // 8) * 8)
-    while m % tm != 0:
+    while tm >= 8 and m % tm != 0:
         tm -= 8
+    if tm < 8:  # no multiple-of-8 divisor
+        tm = next(t for t in (7, 6, 5, 4, 3, 2, 1) if m % t == 0)
     return tm
 
 

@@ -42,8 +42,11 @@ def init_distributed(
         # would initialize the backend before the distributed runtime exists.
         import os
 
-        platforms = os.environ.get("JAX_PLATFORMS", "") or str(
-            getattr(jax.config, "jax_platforms", "") or ""
+        # jax.config takes precedence over the env var (JAX's own precedence, and
+        # this repo's documented pattern: the harness sets JAX_PLATFORMS=axon and
+        # code overrides via jax.config.update after import — conftest.py)
+        platforms = str(getattr(jax.config, "jax_platforms", "") or "") or os.environ.get(
+            "JAX_PLATFORMS", ""
         )
         if platforms.startswith("cpu"):
             try:

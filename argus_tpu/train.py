@@ -513,7 +513,6 @@ def train(cfg: TrainConfig) -> str:
     from argus_tpu.preemption import PreemptionGuard
 
     setup = initialize_training(cfg)
-    mesh = setup["mesh"]
     state = setup["state"]
     train_step, eval_step = setup["train_step"], setup["eval_step"]
     logger, run_id, rank = setup["logger"], setup["run_id"], setup["rank"]
@@ -522,7 +521,32 @@ def train(cfg: TrainConfig) -> str:
 
     lr = float(cfg.learning_rate)
     global_step = int(jax.device_get(state.step))
-    guard = PreemptionGuard().__enter__()
+    guard = PreemptionGuard()
+    preempted = False
+    guard.__enter__()
+    try:
+        state, global_step, lr, preempted = _train_epochs(
+            cfg, setup, state, train_step, eval_step, logger, scheduler,
+            ckpt_path, guard, global_step, lr, rank, tqdm,
+        )
+    finally:
+        # always restore the SIGTERM handler — leaving it installed after an
+        # exception would silently swallow real termination signals
+        guard.__exit__()
+    save_checkpoint(ckpt_path, state)
+    logger.finish()
+    if preempted:
+        rank_print(f"    Preempted at step {global_step}; resumable from {ckpt_path}", rank)
+    return ckpt_path
+
+
+def _train_epochs(
+    cfg, setup, state, train_step, eval_step, logger, scheduler, ckpt_path,
+    guard, global_step, lr, rank, tqdm,
+):
+    """Epoch loop body of train(), split out so the PreemptionGuard can wrap it
+    in try/finally. Returns (state, global_step, lr, preempted)."""
+    mesh = setup["mesh"]
     preempted = False
     for epoch in tqdm(range(cfg.n_epochs), desc="Epoch", disable=(rank != 0)):
         setup["train_loader"].set_epoch(epoch)
@@ -589,12 +613,7 @@ def train(cfg: TrainConfig) -> str:
         if epoch % cfg.save_epochs == 0:
             save_checkpoint(ckpt_path, state)
 
-    save_checkpoint(ckpt_path, state)
-    guard.__exit__()
-    logger.finish()
-    if preempted:
-        rank_print(f"    Preempted at step {global_step}; resumable from {ckpt_path}", rank)
-    return ckpt_path
+    return state, global_step, lr, preempted
 
 
 if __name__ == "__main__":

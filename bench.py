@@ -90,7 +90,10 @@ def main() -> None:
     # ── training throughput ──
     # NOTE: block_until_ready is unreliable through the remote-TPU tunnel this runs
     # under; a host fetch of a scalar (float(loss)) is the honest synchronization.
-    # roofline accounting straight from the compiled program
+    state, loss = train_step(state, batch)  # compile + warmup (populates the cache)
+    float(loss)
+    # roofline accounting straight from the compiled program — AFTER the warmup so
+    # the AOT lowering hits the persistent cache instead of compiling twice
     step_flops = step_bytes = None
     try:
         ca = train_step.lower(state, batch).compile().cost_analysis()
@@ -100,8 +103,6 @@ def main() -> None:
         step_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception:
         pass
-    state, loss = train_step(state, batch)  # compile + warmup
-    float(loss)
     state, loss = train_step(state, batch)
     float(loss)
     t0 = time.perf_counter()

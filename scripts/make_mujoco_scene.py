@@ -173,7 +173,7 @@ def _thumb_xml(base_indent: int) -> str:
     return "\n".join(lines)
 
 
-def leap_hand_xml() -> str:
+def leap_hand_xml() -> tuple:
     """The articulated meshless LEAP hand worldbody subtree + its actuators."""
     fingers = "\n".join(_finger_xml(sfx, pos, joints, 8) for sfx, pos, joints in FINGERS)
     thumb = _thumb_xml(8)
@@ -189,7 +189,6 @@ def leap_hand_xml() -> str:
     </body>"""
     # actuator order = the reference's (tree order; names match joint names)
     act_order = [j for _, _, joints in FINGERS for j in joints] + ["12", "13", "14", "15"]
-    ranges = {**{js[0]: "mcp" for _, _, js in FINGERS}}
     link_for = {}
     for _, _, joints in FINGERS:
         for j, link in zip(joints, ("mcp", "pip", "dip", "fingertip")):

@@ -400,3 +400,30 @@ def test_frozen_affine_bn_no_affine_grads(xkey):
     for k, a in bn_leaves.items():
         np.testing.assert_array_equal(np.asarray(a), 0.0, err_msg=k)
     assert any(float(jnp.abs(a).sum()) > 0 for a in conv_leaves.values())
+
+
+def test_pallas_stats_exact_on_nondivisible_rows():
+    """stride=1 pallas reductions must be EXACT even when the row count doesn't
+    tile into the kernel's block size (falls back to an XLA reduction rather
+    than silently dropping trailing rows — review finding)."""
+    from argus_tpu.ops.pallas.bn_reduce import fused_bn_bwd_reduce, fused_stats
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 7, 7, 128)), jnp.float32)  # 49 rows
+    s, q, n = fused_stats(x, stride=1, interpret=True)
+    assert n == 49
+    np.testing.assert_allclose(np.asarray(s), np.asarray(x.reshape(-1, 128).sum(0)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray((x.reshape(-1, 128) ** 2).sum(0)), rtol=1e-5
+    )
+
+    dy = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+    mean = jnp.asarray(rng.normal(0, 1, (128,)), jnp.float32)
+    rstd = jnp.asarray(rng.uniform(0.5, 2, (128,)), jnp.float32)
+    s_dy, s_dyxh, n2 = fused_bn_bwd_reduce(x, dy, mean, rstd, stride=1, interpret=True)
+    assert n2 == 49
+    xh = (x.reshape(-1, 128) - mean) * rstd
+    np.testing.assert_allclose(np.asarray(s_dy), np.asarray(dy.reshape(-1, 128).sum(0)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_dyxh), np.asarray((dy.reshape(-1, 128) * xh).sum(0)), rtol=1e-4
+    )

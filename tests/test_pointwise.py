@@ -131,3 +131,12 @@ def test_fused_model_same_tree_and_outputs():
         g_off,
         g_on,
     )
+
+
+def test_odd_m_not_multiple_of_8():
+    """M = N*H*W with an odd factor (e.g. 7x7 stage maps from 224x224 inputs)
+    must pick a small exact-divisor tile, not crash (review finding)."""
+    x, k, s, b, m, v, _ = _mk(n=1, h=7, w=7, cin=16, cout=32)
+    y = pointwise_conv_frozen_bn(x, k, s, b, m, v, impl="pallas", interpret=True)
+    ref = pointwise_conv_frozen_bn(x, k, s, b, m, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -39,9 +39,11 @@ public class RenderServerAgent : Agent
         "pip_4", "thumb_pip", "thumb_dip", "thumb_fingertip",
     };
 
-    // mjpc action slot -> index into the articulation's reduced joint list
-    readonly Dictionary<int, int> jointSlot = new Dictionary<int, int>();
-    int articulationDofOffset;
+    // mjpc action slot -> start index in the articulation's reduced-coordinate
+    // (dof) list. Computed from cumulative dofCount in body-index order, NOT
+    // from ArticulationBody.index itself: fixed links (mounts, tip pads)
+    // consume a body index but contribute zero dofs.
+    readonly Dictionary<int, int> jointDofStart = new Dictionary<int, int>();
 
     public override void Initialize()
     {
@@ -58,16 +60,22 @@ public class RenderServerAgent : Agent
         camera1.clearFlags = CameraClearFlags.SolidColor;
         camera2.clearFlags = CameraClearFlags.SolidColor;
 
-        // URDF imports prepend fixed mount/palm bodies before the finger chain;
-        // joint positions are indexed relative to the first named finger joint.
-        articulationDofOffset = int.MaxValue;
-        foreach (var body in GetComponentsInChildren<ArticulationBody>())
+        // Build name -> dof-start map by walking bodies in hierarchy (index)
+        // order and accumulating dofCount — matches the ordering of
+        // Get/SetJointPositions' reduced-coordinate list regardless of fixed
+        // links interleaved by the URDF import.
+        var bodies = GetComponentsInChildren<ArticulationBody>();
+        System.Array.Sort(bodies, (a, b) => a.index.CompareTo(b.index));
+        int dofStart = 0;
+        foreach (var body in bodies)
         {
             int slot = System.Array.IndexOf(MjpcJointNames, body.name);
-            if (slot < 0) continue;
-            jointSlot[slot] = body.index;
-            articulationDofOffset = Mathf.Min(articulationDofOffset, body.index);
+            if (slot >= 0) jointDofStart[slot] = dofStart;
+            dofStart += body.dofCount;
         }
+        if (jointDofStart.Count != NumHandJoints)
+            Debug.LogWarning(
+                $"RenderServerAgent resolved {jointDofStart.Count}/{NumHandJoints} hand joints by name");
     }
 
     public override void OnEpisodeBegin() { }
@@ -114,10 +122,13 @@ public class RenderServerAgent : Agent
             a[LightPose + 3], a[LightPose + 4], a[LightPose + 5], a[LightPose + 6]));
         sceneLight.transform.rotation = delta * Quaternion.LookRotation(toCube);
 
-        // Hand joints: MJPC order -> articulation order by resolved name.
-        var joints = new List<float>(new float[NumHandJoints]);
-        foreach (var pair in jointSlot)
-            joints[pair.Value - articulationDofOffset] = a[HandJoints + pair.Key];
+        // Hand joints: read the FULL reduced-coordinate list (SetJointPositions
+        // requires the articulation's total dof count), overwrite the named
+        // finger dofs with the MJPC-ordered targets, write back.
+        var joints = new List<float>();
+        handRoot.GetJointPositions(joints);
+        foreach (var pair in jointDofStart)
+            joints[pair.Value] = a[HandJoints + pair.Key];
         handRoot.SetJointPositions(joints);
 
         SetReward(1f);   // unused; the "reward" is the rendered observation
