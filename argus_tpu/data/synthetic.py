@@ -71,20 +71,33 @@ _CORNER_COLORS = np.array(
 )
 
 
-def _render_corner_projection(pose_wxyz: np.ndarray, height: int, width: int) -> list:
+def _render_corner_projection(
+    pose_wxyz: np.ndarray, height: int, width: int, P: np.ndarray = None
+) -> list:
     """Render BOTH cameras' views of the posed cube's 8 corners, projected with the
     rig's nominal camera matrices (models.keypoint_net.nominal_camera_matrices) —
     each corner a distinct colored dot. Full 6-DoF pose is recoverable from the two
     views, so both model families (direct se(3) regression AND corner-keypoint
-    triangulation) can learn it: the accuracy-proxy signal (VERDICT r1 #9)."""
+    triangulation) can learn it: the accuracy-proxy signal (VERDICT r1 #9).
+
+    Pass `P` (the (2, 3, 4) projection matrices) when rendering many images —
+    nominal_camera_matrices returns a device array, and recomputing it per image
+    costs a device round-trip each (minutes of wall-clock through a remote-TPU
+    tunnel for a few hundred images)."""
     from scipy.spatial.transform import Rotation as R
 
-    from argus_tpu.models.keypoint_net import cube_corners, nominal_camera_matrices
+    from argus_tpu.models.keypoint_net import nominal_camera_matrices
 
-    P = np.asarray(nominal_camera_matrices(height, width))  # (2, 3, 4)
+    if P is None:
+        P = np.asarray(nominal_camera_matrices(height, width))  # (2, 3, 4)
     t, q_wxyz = pose_wxyz[:3], pose_wxyz[3:]
     rot = R.from_quat(np.concatenate([q_wxyz[1:], q_wxyz[:1]])).as_matrix()
-    pts = np.asarray(cube_corners()) @ rot.T + t  # (8, 3) world
+    # corners in numpy (cube_corners() is a device array — avoid per-image
+    # host<->device round-trips; same 3.5 cm half-width layout)
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32
+    )
+    pts = (0.035 * signs) @ rot.T + t  # (8, 3) world
     r = max(2, min(height, width) // 42)
     imgs = []
     for cam in range(2):
@@ -129,14 +142,18 @@ def write_synthetic_dataset(
 
     n_total = n_train + n_test
     if pose_encoded == "corners":
+        from argus_tpu.models.keypoint_net import nominal_camera_matrices
+
         poses_all = _workspace_wxyz_poses(rng, n_total)
+        # fetch the projection matrices ONCE (device array -> host)
+        cam_P = np.asarray(nominal_camera_matrices(height, width))
     elif pose_encoded:
         poses_all = _random_wxyz_poses(rng, n_total)
     else:
         poses_all = None
     for i in range(n_total):
         if pose_encoded == "corners":
-            pair = _render_corner_projection(poses_all[i], height, width)
+            pair = _render_corner_projection(poses_all[i], height, width, cam_P)
         for cam, suffix in enumerate(("a", "b")):
             if pose_encoded == "corners":
                 arr = pair[cam]
