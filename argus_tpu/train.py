@@ -280,15 +280,14 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
         return loss, nbs, grads
 
     if shmap_dp:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        _sharded_lg = shard_map(
+        _sharded_lg = jax.shard_map(
             _shard_loss_and_grad,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"), P("data")),
             out_specs=(P(), P(), P()),
-            check_rep=False,  # custom-vjp pallas ops defeat the rep checker
+            check_vma=False,  # custom-vjp pallas ops defeat the varying-axes checker
         )
 
     @partial(jax.jit, donate_argnums=(0,))
