@@ -31,8 +31,9 @@ for mode, s2d, B, rm in combos:
         model_config=NCameraCNNConfig(
             n_cams=2, backbone="resnet50", resnet_output_dim=1024,
             bn_frozen=mode.startswith("frozen"),
-            bn_frozen_affine=mode in ("frozen", "frozenaff", "frozendot"),
+            bn_frozen_affine=mode in ("frozen", "frozenaff", "frozendot", "frozenblk"),
             fuse_pointwise="dot" if mode == "frozendot" else "off",
+            fuse_block="on" if mode == "frozenblk" else "off",
             stem_space_to_depth=s2d,
             remat=(rm == "all"),
             remat_stages=tuple(int(c) for c in rm) if rm not in ("-", "all") else (),

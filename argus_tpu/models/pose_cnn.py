@@ -78,6 +78,11 @@ class NCameraCNNConfig:
     # so every Pallas/conv boundary pays a layout-copy pass (~25 ms/step of
     # copies, outputs/traces/step_pw; full analysis in docs/ROUND2_NOTES.md).
     fuse_pointwise: str = "off"
+    # Whole-block fused Pallas kernels for stride-1 identity bottleneck blocks
+    # ("auto"|"on"|"off"; requires bn_frozen+bn_frozen_affine —
+    # ops/pallas/block_fused.py; measured 1.28x vs XLA per block fwd+bwd).
+    fuse_block: str = "off"
+    fuse_block_stages: tuple = (0, 1)
     # Rematerialize residual blocks in the backward pass (see models/resnet.py):
     # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
     # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.
@@ -120,6 +125,8 @@ class NCameraCNN(nn.Module):
             bn_frozen=cfg.bn_frozen,
             bn_frozen_affine=cfg.bn_frozen_affine,
             fuse_pointwise=cfg.fuse_pointwise,
+            fuse_block=cfg.fuse_block,
+            fuse_block_stages=cfg.fuse_block_stages,
             remat=cfg.remat,
             remat_stages=cfg.remat_stages,
             name="backbone",

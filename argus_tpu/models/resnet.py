@@ -109,6 +109,22 @@ class _Conv1x1Params(nn.Module):
         )
 
 
+class _Conv3x3Params(nn.Module):
+    """`nn.Conv`-layout parameter holder for a bias-free 3x3 conv (fused-block
+    path; see _Conv1x1Params for the naming/RNG-compatibility rationale)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_features, self.features),
+            jnp.float32,
+        )
+
+
 class _FrozenBNParams(nn.Module):
     """Parameter holder matching `ops.norm.BatchNorm`'s variable layout (params:
     scale/bias; batch_stats: mean/var), returning the raw frozen buffers for the
@@ -141,7 +157,13 @@ class BottleneckBlock(nn.Module):
     With `fuse_pointwise` (only legal under bn_frozen + bn_frozen_affine) the two
     1x1 convs run as Pallas fused matmul kernels with the frozen-BN affine folded
     into the weights and relu/residual in the epilogue, plus a single-pass
-    combined backward (ops/pallas/pointwise.py). The variable tree is unchanged."""
+    combined backward (ops/pallas/pointwise.py). The variable tree is unchanged.
+
+    With `fuse_block` (same frozen-affine requirement), stride-1 IDENTITY blocks
+    run as ONE whole-block Pallas kernel each way (ops/pallas/block_fused.py):
+    interiors VMEM-resident, the 3x3 as nine shifted MXU matmuls, the backward a
+    single pass over (x, g, out, h1, h2). Measured 1.28x vs XLA fwd+bwd at
+    stage-0 geometry. Projection/stride-2 blocks keep the XLA path."""
 
     filters: int
     strides: int
@@ -150,10 +172,17 @@ class BottleneckBlock(nn.Module):
 
     expansion: int = 4
     fuse_pointwise: bool = False
-    pw_impl: str = "auto"  # forwarded to pointwise_conv_frozen_bn
+    fuse_block: bool = False
+    pw_impl: str = "auto"  # forwarded to the fused ops
 
     @nn.compact
     def __call__(self, x):
+        if (
+            self.fuse_block
+            and self.strides == 1
+            and x.shape[-1] == self.filters * self.expansion
+        ):
+            return self._call_fused_block(x)
         if self.fuse_pointwise:
             return self._call_fused(x)
         residual = x
@@ -175,6 +204,26 @@ class BottleneckBlock(nn.Module):
             residual = self.norm(name="norm_proj")(residual)
 
         return nn.relu(y + residual)
+
+    def _call_fused_block(self, x):
+        from argus_tpu.ops.pallas.block_fused import fused_bottleneck_block
+
+        eps = self.norm.keywords.get("epsilon", 1e-5)
+        cin = x.shape[-1]
+        f = self.filters
+
+        k1 = _Conv1x1Params(f, name="Conv_0")(cin)
+        s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
+        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        s2, b2, m2, v2 = _FrozenBNParams(name="BatchNorm_1")(f)
+        k3 = _Conv1x1Params(cin, name="Conv_2")(f)
+        s3, b3, m3, v3 = _FrozenBNParams(
+            scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
+        )(cin)
+        return fused_bottleneck_block(
+            x, k1, s1, b1, m1, v1, k2, s2, b2, m2, v2, k3, s3, b3, m3, v3,
+            eps=eps, impl=self.pw_impl,
+        )
 
     def _call_fused(self, x):
         from argus_tpu.ops.pallas.pointwise import pointwise_conv_frozen_bn
@@ -265,6 +314,14 @@ class ResNet(nn.Module):
     # Default off — measured slower than XLA at flagship shapes due to layout
     # copies at every Pallas/conv boundary (see models/pose_cnn.py note).
     fuse_pointwise: str = "off"
+    # Whole-block fused Pallas kernels for stride-1 identity bottleneck blocks
+    # (requires bn_frozen + bn_frozen_affine; ops/pallas/block_fused.py).
+    # Measured 1.28x vs XLA fwd+bwd per block at stage-0 geometry. Restricted to
+    # `fuse_block_stages`: deep stages have too few rows per image for the
+    # per-image MXU grid (8x8 = 64 rows) and each fused chain pays XLA-boundary
+    # layout copies — all-stage fusion measured SLOWER end-to-end (106.1 ms).
+    fuse_block: str = "off"
+    fuse_block_stages: Sequence[int] = (0, 1)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -305,17 +362,30 @@ class ResNet(nn.Module):
                 or (self.fuse_pointwise == "auto" and jax.default_backend() == "tpu")
             )
         )
+        fuse_blk = (
+            self.block_cls is BottleneckBlock
+            and self.bn_frozen
+            and self.bn_frozen_affine
+            and (
+                self.fuse_block == "on"
+                or (self.fuse_block == "auto" and jax.default_backend() == "tpu")
+            )
+        )
         # "dot" expresses the 1x1 convs as XLA dot_generals (impl="xla" in the
         # fused op) instead of Pallas kernels — dots can join XLA output fusions,
         # which conv custom-calls cannot.
-        block_kwargs = (
-            {"fuse_pointwise": True, "pw_impl": "xla" if self.fuse_pointwise == "dot" else "auto"}
-            if fuse_pw
-            else {}
-        )
+        base_kwargs = {}
+        if fuse_pw:
+            base_kwargs = {
+                "fuse_pointwise": True,
+                "pw_impl": "xla" if self.fuse_pointwise == "dot" else "auto",
+            }
         remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
             block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
+            block_kwargs = dict(base_kwargs)
+            if fuse_blk and i in self.fuse_block_stages:
+                block_kwargs["fuse_block"] = True
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = block_cls(

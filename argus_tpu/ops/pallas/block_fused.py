@@ -1,0 +1,539 @@
+"""Whole-bottleneck-block fused Pallas kernels (frozen-BN fine-tune mode).
+
+The per-site pointwise kernels (ops/pallas/pointwise.py) lost to XLA because
+every Pallas/XLA-conv boundary pays a layout-copy pass. Fusing the ENTIRE
+stride-1 bottleneck block — conv1x1 -> bn -> relu -> conv3x3 -> bn -> relu ->
+conv1x1 -> bn -> +identity -> relu — into one kernel removes the interior
+boundaries: one image per grid step, all interiors VMEM-resident, the 3x3 as
+nine shifted MXU matmuls over a zero-padded copy. Measured forward head-to-head
+at stage-0 geometry (N=256, 64x64x256): 4.65 ms fused vs 6.71 ms XLA (1.44x,
+.bench/bench_blockfwd.py) — the decision experiment for this design.
+
+Backward is ONE kernel pass per block with in-VMEM recompute (remat without the
+HBM tax): read (x, g, out), recompute h1/h2 from x, then
+    m3  = g * (out > 0)
+    dh2 = m3 @ w3^T               dw3 += h2^T @ m3
+    m2  = dh2 * (h2 > 0)
+    dh1 = conv2^T(m2)             dw2[ky,kx] += shift(h1)^T @ m2
+    m1  = dh1 * (h1 > 0)
+    dx  = m1 @ w1^T + m3          dw1 += x^T @ m1      (identity residual)
+writing dx once — where XLA materializes and re-reads every mask/gradient
+tensor between conv custom-calls. Weight-grad accumulators live in VMEM f32
+scratch across the sequential grid.
+
+Applies to stride-1 identity-residual blocks only (12 of ResNet-50's 16);
+stride-2/projection blocks stay on the XLA path. Requires frozen affine
+(bn_frozen + bn_frozen_affine): the BN affines are folded into (w_eff, b_eff)
+as in pointwise.py. Mosaic constraints: f32 compare only, no bool-vector
+select — masks are computed as f32 0/1 factors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _relu_mask_mul(v, ref_vals):
+    """v * (ref_vals > 0) with f32 compare (no bf16 vector compare on v5e)."""
+    mask = (ref_vals.astype(jnp.float32) > 0.0).astype(jnp.float32)
+    return (v.astype(jnp.float32) * mask).astype(v.dtype)
+
+
+# ───────────────────────────────── forward ─────────────────────────────────
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, H, W, CIN, F):
+    COUT = CIN
+    x = x_ref[0].reshape(H * W, CIN)
+    h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h1g = h1.reshape(H, W, F)
+    padded = jnp.pad(h1g, ((1, 1), (1, 1), (0, 0)))
+    h2 = jnp.zeros((H * W, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
+    y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)  # identity residual
+    out_ref[0] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(H, W, COUT)
+
+
+def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, CIN=CIN, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+            pl.BlockSpec((1, CIN), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, w3, b3)
+
+
+# ────────────────────── forward with saved residuals ──────────────────────
+
+
+def _fwd_save_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, h1_ref, h2_ref, *, H, W, CIN, F
+):
+    x = x_ref[0].reshape(H * W, CIN)
+    h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h1_ref[0] = h1.reshape(H, W, F)
+    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
+    h2 = jnp.zeros((H * W, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h2_ref[0] = h2.reshape(H, W, F)
+    y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
+    y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
+    out_ref[0] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(H, W, CIN)
+
+
+def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    kernel = functools.partial(_fwd_save_kernel, H=H, W=W, CIN=CIN, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+            pl.BlockSpec((1, CIN), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
+            jax.ShapeDtypeStruct((N, H, W, F), x.dtype),
+            jax.ShapeDtypeStruct((N, H, W, F), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, w3, b3)
+
+
+def _bwd_saved_kernel(
+    x_ref, g_ref, out_ref, h1_ref, h2_ref, w1_ref, w2_ref, w3_ref,
+    dx_ref, dw1_ref, dw2_ref, dw3_ref,
+    a1_ref, a2_ref, a3_ref, *, H, W, CIN, F,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        a1_ref[:] = jnp.zeros_like(a1_ref)
+        a2_ref[:] = jnp.zeros_like(a2_ref)
+        a3_ref[:] = jnp.zeros_like(a3_ref)
+
+    dt = x_ref.dtype
+    x = x_ref[0].reshape(H * W, CIN)
+    h1 = h1_ref[0].reshape(H * W, F)
+    h2 = h2_ref[0].reshape(H * W, F)
+    g = g_ref[0].reshape(H * W, CIN)
+    m3 = _relu_mask_mul(g, out_ref[0].reshape(H * W, CIN))
+    dh2 = jax.lax.dot_general(
+        m3, w3_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a3_ref[:] += jax.lax.dot_general(
+        h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m2 = _relu_mask_mul(dh2.astype(dt), h2)
+    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
+    m2_padded = jnp.pad(m2.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((H * W, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            h1_shift = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            a2_ref[ky, kx] += jax.lax.dot_general(
+                h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m2_shift = m2_padded[2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(H * W, F)
+            dh1 = dh1 + jax.lax.dot_general(
+                m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    m1 = _relu_mask_mul(dh1.astype(dt), h1)
+    dx = jax.lax.dot_general(
+        m1, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a1_ref[:] += jax.lax.dot_general(
+        x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx_ref[0] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(H, W, CIN)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw1_ref[...] = a1_ref[...]
+        dw2_ref[...] = a2_ref[...]
+        dw3_ref[...] = a3_ref[...]
+
+
+def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    kernel = functools.partial(_bwd_saved_kernel, H=H, W=W, CIN=CIN, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
+            jax.ShapeDtypeStruct((CIN, F), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, F, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, CIN), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CIN, F), jnp.float32),
+            pltpu.VMEM((3, 3, F, F), jnp.float32),
+            pltpu.VMEM((F, CIN), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, g, out, h1, h2, w1, w2, w3)
+
+
+# ───────────────────────────────── backward ─────────────────────────────────
+
+
+def _bwd_kernel(
+    x_ref, g_ref, out_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    dx_ref, dw1_ref, dw2_ref, dw3_ref,
+    a1_ref, a2_ref, a3_ref, *, H, W, CIN, F,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        a1_ref[:] = jnp.zeros_like(a1_ref)
+        a2_ref[:] = jnp.zeros_like(a2_ref)
+        a3_ref[:] = jnp.zeros_like(a3_ref)
+
+    dt = x_ref.dtype
+    x = x_ref[0].reshape(H * W, CIN)
+    # recompute interiors in VMEM (remat without HBM traffic)
+    h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(dt)
+    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
+    h2 = jnp.zeros((H * W, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(dt)
+
+    g = g_ref[0].reshape(H * W, CIN)
+    m3 = _relu_mask_mul(g, out_ref[0].reshape(H * W, CIN))
+    # conv3 grads
+    dh2 = jax.lax.dot_general(
+        m3, w3_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a3_ref[:] += jax.lax.dot_general(
+        h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m2 = _relu_mask_mul(dh2.astype(dt), h2)
+    # conv2 transpose: dh1[p] = sum_k m2 shifted by -k @ w2[k]^T; and
+    # dw2[ky,kx] += shift(h1, ky, kx)^T @ m2  (same shifts as forward)
+    m2g = m2.reshape(H, W, F)
+    m2_padded = jnp.pad(m2g, ((1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((H * W, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            h1_shift = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            a2_ref[ky, kx] += jax.lax.dot_general(
+                h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # transpose conv: flip the shift direction (2-ky, 2-kx)
+            m2_shift = m2_padded[2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(H * W, F)
+            dh1 = dh1 + jax.lax.dot_general(
+                m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    m1 = _relu_mask_mul(dh1.astype(dt), h1)
+    # conv1 grads + identity-residual skip grad in the same write
+    dx = jax.lax.dot_general(
+        m1, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a1_ref[:] += jax.lax.dot_general(
+        x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx_ref[0] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(H, W, CIN)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw1_ref[...] = a1_ref[...]
+        dw2_ref[...] = a2_ref[...]
+        dw3_ref[...] = a3_ref[...]
+
+
+def _block_bwd_pallas(x, g, out, w1, b1, w2, b2, w3, b3, interpret: bool):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    kernel = functools.partial(_bwd_kernel, H=H, W=W, CIN=CIN, F=F)
+    dx, dw1, dw2, dw3 = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+            pl.BlockSpec((1, CIN), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((CIN, F), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((F, CIN), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
+            jax.ShapeDtypeStruct((CIN, F), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, F, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, CIN), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CIN, F), jnp.float32),
+            pltpu.VMEM((3, 3, F, F), jnp.float32),
+            pltpu.VMEM((F, CIN), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, g, out, w1, b1, w2, b2, w3, b3)
+    return dx, dw1, dw2, dw3
+
+
+# ─────────────────────────── public op (custom VJP) ───────────────────────────
+
+
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _interp(interpret: Optional[bool]) -> bool:
+    return (jax.default_backend() != "tpu") if interpret is None else interpret
+
+
+def _xla_forward(x, w1, b1, w2, b2, w3, b3):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    # convs in the input dtype, bias-add/relu in f32 — the same structure the
+    # flax model compiles to (XLA accumulates bf16 convs in f32 internally);
+    # no preferred_element_type so the conv transposes differentiate cleanly
+    h1 = jax.lax.conv_general_dilated(
+        x, w1.reshape(1, 1, CIN, F), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h1 = jnp.maximum(h1.astype(jnp.float32) + b1, 0.0).astype(x.dtype)
+    h2 = jax.lax.conv_general_dilated(
+        h1, w2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    h2 = jnp.maximum(h2.astype(jnp.float32) + b2, 0.0).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        h2, w3.reshape(1, 1, F, CIN), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.maximum(y.astype(jnp.float32) + b3 + x.astype(jnp.float32), 0.0).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _block(x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool]):
+    if _use_pallas(impl):
+        return _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
+    return _xla_forward(x, w1, b1, w2, b2, w3, b3)
+
+
+def _block_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret):
+    out = _block(x, w1, b1, w2, b2, w3, b3, impl, interpret)
+    return out, (x, w1, b1, w2, b2, w3, b3, out)
+
+
+def _block_bwd(impl, interpret, resids, g):
+    x, w1, b1, w2, b2, w3, b3, out = resids
+    if _use_pallas(impl):
+        dx, dw1, dw2, dw3 = _block_bwd_pallas(
+            x, g, out, w1, b1, w2, b2, w3, b3, _interp(interpret)
+        )
+    else:
+        # XLA-math reference backward (same formulas, materialized tensors)
+        N, H, W, CIN = x.shape
+        F = w1.shape[1]
+        x2 = x.reshape(-1, CIN)
+        h1 = jnp.maximum(
+            jnp.dot(x2, w1, preferred_element_type=jnp.float32) + b1, 0.0
+        ).astype(x.dtype)
+        padded = jnp.pad(h1.reshape(N, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h2 = jnp.zeros((N * H * W, F), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                sh = padded[:, ky : ky + H, kx : kx + W].reshape(-1, F)
+                h2 = h2 + jnp.dot(sh, w2[ky, kx], preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(h2 + b2, 0.0).astype(x.dtype)
+
+        g2 = g.reshape(-1, CIN)
+        m3 = jnp.where(out.reshape(-1, CIN) > 0, g2, jnp.zeros_like(g2))
+        dh2 = jax.lax.dot_general(m3, w3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dw3 = jax.lax.dot_general(h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m2 = jnp.where(h2 > 0, dh2.astype(x.dtype), jnp.zeros_like(h2))
+        m2_padded = jnp.pad(m2.reshape(N, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dh1 = jnp.zeros((N * H * W, F), jnp.float32)
+        dw2 = []
+        for ky in range(3):
+            row = []
+            for kx in range(3):
+                h1s = padded[:, ky : ky + H, kx : kx + W].reshape(-1, F)
+                row.append(
+                    jax.lax.dot_general(h1s, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                )
+                m2s = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(-1, F)
+                dh1 = dh1 + jax.lax.dot_general(
+                    m2s, w2[ky, kx], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            dw2.append(jnp.stack(row))
+        dw2 = jnp.stack(dw2)
+        m1 = jnp.where(h1 > 0, dh1.astype(x.dtype), jnp.zeros_like(h1))
+        dx = (
+            jax.lax.dot_general(m1, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            + m3.astype(jnp.float32)
+        ).astype(x.dtype)
+        dw1 = jax.lax.dot_general(x2, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dx = dx.reshape(x.shape)
+    zb = lambda b: jnp.zeros_like(b)
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        zb(b1),
+        dw2.astype(w2.dtype),
+        zb(b2),
+        dw3.astype(w3.dtype),
+        zb(b3),
+    )
+
+
+_block.defvjp(_block_fwd, _block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _block_saved(x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool]):
+    """Saved-residuals variant: the Pallas forward emits h1/h2 so the backward
+    skips the in-VMEM recompute. Measured fastest fwd+bwd at stage-0 geometry:
+    9.99 ms vs 12.01 recompute vs 12.76 XLA autodiff (.bench/bench_blockbwd.py)."""
+    if _use_pallas(impl):
+        out, _, _ = _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
+        return out
+    return _xla_forward(x, w1, b1, w2, b2, w3, b3)
+
+
+def _block_saved_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret):
+    if _use_pallas(impl):
+        out, h1, h2 = _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
+        return out, (x, w1, b1, w2, b2, w3, b3, out, h1, h2)
+    out = _xla_forward(x, w1, b1, w2, b2, w3, b3)
+    return out, (x, w1, b1, w2, b2, w3, b3, out, None, None)
+
+
+def _block_saved_bwd(impl, interpret, resids, g):
+    x, w1, b1, w2, b2, w3, b3, out, h1, h2 = resids
+    if _use_pallas(impl):
+        dx, dw1, dw2, dw3 = _block_bwd_saved_pallas(
+            x, g, out, h1, h2, w1, w2, w3, _interp(interpret)
+        )
+        zb = lambda b: jnp.zeros_like(b)
+        return (dx, dw1.astype(w1.dtype), zb(b1), dw2.astype(w2.dtype), zb(b2),
+                dw3.astype(w3.dtype), zb(b3))
+    # XLA fallback: recompute-based reference backward (same formulas)
+    return _block_bwd(impl, interpret, (x, w1, b1, w2, b2, w3, b3, out), g)
+
+
+_block_saved.defvjp(_block_saved_fwd, _block_saved_bwd)
+
+
+def fused_bottleneck_block(
+    x: jnp.ndarray,
+    k1: jnp.ndarray,  # (1, 1, CIN, F)
+    s1, bi1, m1, v1,  # frozen BN buffers for conv1 (each (F,))
+    k2: jnp.ndarray,  # (3, 3, F, F)
+    s2, bi2, m2, v2,
+    k3: jnp.ndarray,  # (1, 1, F, CIN)
+    s3, bi3, m3, v3,  # (CIN,)
+    *,
+    eps: float = 1e-5,
+    impl: str = "auto",
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused stride-1 identity-residual bottleneck block under frozen affine.
+
+    Folds each frozen BN affine into the preceding conv's effective weights/bias
+    (f32 fold, like pointwise.py), then runs the whole block as one kernel each
+    way. Gradients flow to x and the three conv kernels; the BN buffers are
+    frozen (zero cotangents, stop-gradiented by the caller)."""
+    CIN = x.shape[-1]
+    F = k1.shape[-1]
+
+    def fold(k, s, b, m, v, cin, cout, shape):
+        c = s * jax.lax.rsqrt(v + eps)
+        w = (k.reshape(*shape).astype(jnp.float32) * c).astype(x.dtype)
+        beff = (b - m * c).reshape(1, cout)
+        return w, beff
+
+    w1, b1 = fold(k1, s1, bi1, m1, v1, CIN, F, (CIN, F))
+    w2 = (k2.astype(jnp.float32) * (s2 * jax.lax.rsqrt(v2 + eps))).astype(x.dtype)
+    b2 = (bi2 - m2 * (s2 * jax.lax.rsqrt(v2 + eps))).reshape(1, F)
+    w3, b3 = fold(k3, s3, bi3, m3, v3, F, CIN, (F, CIN))
+    return _block_saved(x, w1, b1, w2, b2, w3, b3, impl, interpret)
