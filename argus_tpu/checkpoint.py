@@ -9,7 +9,13 @@ Fixes the reference's two checkpoint quirks (SURVEY.md §5):
     training is resumable (checkpoint/resume, SURVEY.md §5).
 
 Format: flax msgpack (`flax.serialization`), written atomically (tmp + rename) by
-process 0 only.
+process 0 only. Since round 3 the file carries MODEL METADATA next to the state
+(format 2: `{"format": 2, "meta": {...}, "state": {...}}`): the model family and
+its config ride inside the checkpoint, so serve/validate/validate_real can
+reconstruct the exact trained model without out-of-band knowledge (the reference
+stores a bare state_dict and every consumer must guess the config,
+argus/validate.py:100-103 — a flaw VERDICT r2 asked to fix, not replicate).
+Legacy bare-state files still load.
 """
 
 from __future__ import annotations
@@ -33,14 +39,33 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(gather, tree)
 
 
-def save_checkpoint(path: str, tree: Any) -> str:
+def _plain(obj: Any) -> Any:
+    """Lower meta values to msgpack-serializable types (flax packs with
+    strict_types, which rejects tuples — config dataclasses carry them)."""
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    return obj
+
+
+def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> str:
     """Serialize a pytree to `path` (atomic). Only process 0 writes; all processes
-    return the path."""
+    return the path.
+
+    `meta` is an optional plain dict (strings/numbers/lists) stored alongside the
+    state — training stores the model family + config here so consumers can
+    reconstruct the model (`load_checkpoint_with_meta`)."""
     if jax.process_index() == 0:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         # to_state_dict lowers flax PyTreeNodes/namedtuples to plain nested dicts so
         # the file is structure-agnostic (loadable with or without a target).
-        data = serialization.msgpack_serialize(serialization.to_state_dict(_to_host(tree)))
+        payload = {
+            "format": 2,
+            "meta": _plain(meta or {}),
+            "state": serialization.to_state_dict(_to_host(tree)),
+        }
+        data = serialization.msgpack_serialize(payload)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
@@ -64,10 +89,24 @@ def find_latest_checkpoint(save_dir: str) -> Optional[str]:
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    """Load a checkpoint. With `target`, restores into its structure (validating
-    shapes); without, returns the raw nested-dict pytree."""
+    """Load a checkpoint's STATE. With `target`, restores into its structure
+    (validating shapes); without, returns the raw nested-dict pytree. Reads both
+    format-2 (meta + state) and legacy bare-state files; use
+    `load_checkpoint_with_meta` to also get the stored metadata."""
+    state, _ = load_checkpoint_with_meta(path, target=target)
+    return state
+
+
+def load_checkpoint_with_meta(path: str, target: Optional[Any] = None) -> tuple:
+    """Load (state, meta) from a checkpoint. `meta` is the dict stored at save
+    time ({} for legacy bare-state files)."""
     with open(path, "rb") as f:
         data = f.read()
+    raw = serialization.msgpack_restore(data)
+    if isinstance(raw, dict) and raw.get("format") == 2:
+        state, meta = raw["state"], raw.get("meta") or {}
+    else:  # legacy bare state dict
+        state, meta = raw, {}
     if target is not None:
-        return serialization.from_state_dict(target, serialization.msgpack_restore(data))
-    return serialization.msgpack_restore(data)
+        state = serialization.from_state_dict(target, state)
+    return state, meta

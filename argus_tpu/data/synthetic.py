@@ -72,7 +72,8 @@ _CORNER_COLORS = np.array(
 
 
 def _render_corner_projection(
-    pose_wxyz: np.ndarray, height: int, width: int, P: np.ndarray = None
+    pose_wxyz: np.ndarray, height: int, width: int, P: np.ndarray = None,
+    corners: np.ndarray = None,
 ) -> list:
     """Render BOTH cameras' views of the posed cube's 8 corners, projected with the
     rig's nominal camera matrices (models.keypoint_net.nominal_camera_matrices) —
@@ -90,14 +91,15 @@ def _render_corner_projection(
 
     if P is None:
         P = np.asarray(nominal_camera_matrices(height, width))  # (2, 3, 4)
+    if corners is None:
+        # cube_corners() is a device array — callers rendering many images should
+        # fetch it once (like P) and pass it in, to avoid a round-trip per image
+        from argus_tpu.models.keypoint_net import cube_corners
+
+        corners = np.asarray(cube_corners())
     t, q_wxyz = pose_wxyz[:3], pose_wxyz[3:]
     rot = R.from_quat(np.concatenate([q_wxyz[1:], q_wxyz[:1]])).as_matrix()
-    # corners in numpy (cube_corners() is a device array — avoid per-image
-    # host<->device round-trips; same 3.5 cm half-width layout)
-    signs = np.array(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32
-    )
-    pts = (0.035 * signs) @ rot.T + t  # (8, 3) world
+    pts = corners @ rot.T + t  # (8, 3) world
     r = max(2, min(height, width) // 42)
     imgs = []
     for cam in range(2):
@@ -142,18 +144,21 @@ def write_synthetic_dataset(
 
     n_total = n_train + n_test
     if pose_encoded == "corners":
-        from argus_tpu.models.keypoint_net import nominal_camera_matrices
+        from argus_tpu.models.keypoint_net import cube_corners, nominal_camera_matrices
 
         poses_all = _workspace_wxyz_poses(rng, n_total)
-        # fetch the projection matrices ONCE (device array -> host)
+        # fetch the projection matrices + corner layout ONCE (device arrays ->
+        # host); the corner geometry is THE source of truth shared with the
+        # keypoint loss/triangulation (ADVICE r2: no duplicated constants)
         cam_P = np.asarray(nominal_camera_matrices(height, width))
+        corners = np.asarray(cube_corners())
     elif pose_encoded:
         poses_all = _random_wxyz_poses(rng, n_total)
     else:
         poses_all = None
     for i in range(n_total):
         if pose_encoded == "corners":
-            pair = _render_corner_projection(poses_all[i], height, width, cam_P)
+            pair = _render_corner_projection(poses_all[i], height, width, cam_P, corners)
         for cam, suffix in enumerate(("a", "b")):
             if pose_encoded == "corners":
                 arr = pair[cam]

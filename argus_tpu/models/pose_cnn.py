@@ -83,6 +83,10 @@ class NCameraCNNConfig:
     # ops/pallas/block_fused.py; measured 1.28x vs XLA per block fwd+bwd).
     fuse_block: str = "off"
     fuse_block_stages: tuple = (0, 1)
+    # Fuse projection (stage-entry / strided) blocks too (ops/pallas/
+    # proj_fused.py) — with fuse_block over all stages this leaves the stem as
+    # the only XLA conv in the backbone. Same "auto"/"on"/"off" semantics.
+    fuse_proj: str = "off"
     # Rematerialize residual blocks in the backward pass (see models/resnet.py):
     # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
     # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.
@@ -127,6 +131,7 @@ class NCameraCNN(nn.Module):
             fuse_pointwise=cfg.fuse_pointwise,
             fuse_block=cfg.fuse_block,
             fuse_block_stages=cfg.fuse_block_stages,
+            fuse_proj=cfg.fuse_proj,
             remat=cfg.remat,
             remat_stages=cfg.remat_stages,
             name="backbone",

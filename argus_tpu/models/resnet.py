@@ -173,16 +173,17 @@ class BottleneckBlock(nn.Module):
     expansion: int = 4
     fuse_pointwise: bool = False
     fuse_block: bool = False
+    # fuse PROJECTION (stage-entry / strided) blocks too (ops/pallas/proj_fused.py)
+    fuse_proj: bool = False
     pw_impl: str = "auto"  # forwarded to the fused ops
 
     @nn.compact
     def __call__(self, x):
-        if (
-            self.fuse_block
-            and self.strides == 1
-            and x.shape[-1] == self.filters * self.expansion
-        ):
+        is_identity = self.strides == 1 and x.shape[-1] == self.filters * self.expansion
+        if self.fuse_block and is_identity:
             return self._call_fused_block(x)
+        if self.fuse_proj and not is_identity:
+            return self._call_fused_proj(x)
         if self.fuse_pointwise:
             return self._call_fused(x)
         residual = x
@@ -206,11 +207,18 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + residual)
 
     def _call_fused_block(self, x):
+        import math
+
         from argus_tpu.ops.pallas.block_fused import fused_bottleneck_block
 
         eps = self.norm.keywords.get("epsilon", 1e-5)
         cin = x.shape[-1]
         f = self.filters
+        # images per Pallas grid step: target ~4096 MXU rows (stage-0's natural
+        # 64x64 tile); deep stages batch multiple images so the 128-row MXU
+        # stays full (stage 3: 8x8 = 64 rows/image alone)
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        g = math.gcd(n, max(1, 4096 // (h * w)))
 
         k1 = _Conv1x1Params(f, name="Conv_0")(cin)
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
@@ -222,7 +230,38 @@ class BottleneckBlock(nn.Module):
         )(cin)
         return fused_bottleneck_block(
             x, k1, s1, b1, m1, v1, k2, s2, b2, m2, v2, k3, s3, b3, m3, v3,
-            eps=eps, impl=self.pw_impl,
+            eps=eps, impl=self.pw_impl, g=g,
+        )
+
+    def _call_fused_proj(self, x):
+        import math
+
+        from argus_tpu.ops.pallas.proj_fused import fused_projection_block
+
+        eps = self.norm.keywords.get("epsilon", 1e-5)
+        cin = x.shape[-1]
+        f = self.filters
+        cout = f * self.expansion
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        g = math.gcd(n, max(1, 4096 // (h * w)))
+
+        k1 = _Conv1x1Params(f, name="Conv_0")(cin)
+        s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
+        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        s2, b2, m2, v2 = _FrozenBNParams(name="BatchNorm_1")(f)
+        k3 = _Conv1x1Params(cout, name="Conv_2")(f)
+        s3, b3, m3, v3 = _FrozenBNParams(
+            scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
+        )(cout)
+        ksc = _Conv1x1Params(cout, name="conv_proj")(cin)
+        ssc, bsc, msc, vsc = _FrozenBNParams(name="norm_proj")(cout)
+        return fused_projection_block(
+            x,
+            k1, s1, b1, m1, v1,
+            k2, s2, b2, m2, v2,
+            k3, s3, b3, m3, v3,
+            ksc, ssc, bsc, msc, vsc,
+            stride=self.strides, eps=eps, impl=self.pw_impl, g=g,
         )
 
     def _call_fused(self, x):
@@ -322,6 +361,10 @@ class ResNet(nn.Module):
     # layout copies — all-stage fusion measured SLOWER end-to-end (106.1 ms).
     fuse_block: str = "off"
     fuse_block_stages: Sequence[int] = (0, 1)
+    # Fuse PROJECTION (stage-entry / strided) blocks too — with fuse_block over
+    # all stages this leaves the stem as the only XLA conv in the backbone
+    # (ops/pallas/proj_fused.py). Same "on"/"auto"/"off" semantics.
+    fuse_proj: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -371,6 +414,15 @@ class ResNet(nn.Module):
                 or (self.fuse_block == "auto" and jax.default_backend() == "tpu")
             )
         )
+        fuse_prj = (
+            self.block_cls is BottleneckBlock
+            and self.bn_frozen
+            and self.bn_frozen_affine
+            and (
+                self.fuse_proj == "on"
+                or (self.fuse_proj == "auto" and jax.default_backend() == "tpu")
+            )
+        )
         # "dot" expresses the 1x1 convs as XLA dot_generals (impl="xla" in the
         # fused op) instead of Pallas kernels — dots can join XLA output fusions,
         # which conv custom-calls cannot.
@@ -386,6 +438,8 @@ class ResNet(nn.Module):
             block_kwargs = dict(base_kwargs)
             if fuse_blk and i in self.fuse_block_stages:
                 block_kwargs["fuse_block"] = True
+            if fuse_prj and i in self.fuse_block_stages:
+                block_kwargs["fuse_proj"] = True
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = block_cls(

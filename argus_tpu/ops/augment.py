@@ -636,9 +636,11 @@ def spaghetti_arcs(
         ]
         dx = (xx[None] - cx) * irx
         dy = (yy[None] - cy) * iry
-        # ring test on the SQUARED radius: |rho-1| < hws  <=>  lo^2 < rho^2 < hi^2
-        # with lo = max(1-hws, 0) — saves a per-pixel sqrt per arc (hws < 1 always
-        # at our stroke widths, so the lo=0 center-pixel edge case cannot occur)
+        # ring test on the SQUARED radius: |rho-1| < hws  <=>  lo^2 < rho^2 < hi^2.
+        # The lo = max(1-hws, 0) clamp handles hws >= 1 (possible for degenerate
+        # bboxes where r_min hits its 1e-3 floor); vs the sqrt formulation the only
+        # behavioral delta there is the exact-center pixel rho2 == 0 (previously
+        # included via a 1e-12 clamp, now excluded) — immaterial to an augmentation.
         rho2 = dx * dx + dy * dy
         lo = jnp.maximum(1.0 - hws, 0.0)
         on_ring = (rho2 > lo * lo) & (rho2 < (1.0 + hws) * (1.0 + hws))

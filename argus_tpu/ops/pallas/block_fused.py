@@ -50,33 +50,44 @@ def _relu_mask_mul(v, ref_vals):
 # ───────────────────────────────── forward ─────────────────────────────────
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, H, W, CIN, F):
-    COUT = CIN
-    x = x_ref[0].reshape(H * W, CIN)
-    h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
-    h1g = h1.reshape(H, W, F)
-    padded = jnp.pad(h1g, ((1, 1), (1, 1), (0, 0)))
-    h2 = jnp.zeros((H * W, F), jnp.float32)
+def _conv3x3_shifted(h1, w2_ref, G, H, W, F):
+    """3x3 'SAME' conv of (G*H*W, F) rows as nine shifted MXU matmuls over a
+    per-image zero-padded copy; f32 accumulator. G images share the grid step so
+    deep stages (8x8 = 64 rows/image) still fill the MXU (VERDICT r2 #1)."""
+    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h2 = jnp.zeros((G * H * W, F), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            shifted = padded[:, ky : ky + H, kx : kx + W].reshape(G * H * W, F)
             h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    return h2, padded
+
+
+def _fwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, G, H, W, CIN, F
+):
+    COUT = CIN
+    x = x_ref[...].reshape(G * H * W, CIN)
+    h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h2, _ = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
     h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
     y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
     y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)  # identity residual
-    out_ref[0] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(H, W, COUT)
+    out_ref[...] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(G, H, W, COUT)
 
 
-def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
+def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
     N, H, W, CIN = x.shape
     F = w1.shape[1]
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, CIN=CIN, F=F)
+    G = g
+    assert N % G == 0, (N, G)
+    kernel = functools.partial(_fwd_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
@@ -84,7 +95,7 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
             pl.BlockSpec((1, CIN), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -95,34 +106,32 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
 
 
 def _fwd_save_kernel(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, h1_ref, h2_ref, *, H, W, CIN, F
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, h1_ref, h2_ref,
+    *, G, H, W, CIN, F,
 ):
-    x = x_ref[0].reshape(H * W, CIN)
+    x = x_ref[...].reshape(G * H * W, CIN)
     h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
-    h1_ref[0] = h1.reshape(H, W, F)
-    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
-    h2 = jnp.zeros((H * W, F), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
-            h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    h1_ref[...] = h1.reshape(G, H, W, F)
+    h2, _ = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
     h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
-    h2_ref[0] = h2.reshape(H, W, F)
+    h2_ref[...] = h2.reshape(G, H, W, F)
     y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
     y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
-    out_ref[0] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(H, W, CIN)
+    out_ref[...] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(G, H, W, CIN)
 
 
-def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
+def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
     N, H, W, CIN = x.shape
     F = w1.shape[1]
-    kernel = functools.partial(_fwd_save_kernel, H=H, W=W, CIN=CIN, F=F)
+    G = g
+    assert N % G == 0, (N, G)
+    kernel = functools.partial(_fwd_save_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
@@ -131,9 +140,9 @@ def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
             pl.BlockSpec((1, CIN), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
@@ -148,7 +157,7 @@ def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool):
 def _bwd_saved_kernel(
     x_ref, g_ref, out_ref, h1_ref, h2_ref, w1_ref, w2_ref, w3_ref,
     dx_ref, dw1_ref, dw2_ref, dw3_ref,
-    a1_ref, a2_ref, a3_ref, *, H, W, CIN, F,
+    a1_ref, a2_ref, a3_ref, *, G, H, W, CIN, F,
 ):
     i = pl.program_id(0)
 
@@ -159,11 +168,12 @@ def _bwd_saved_kernel(
         a3_ref[:] = jnp.zeros_like(a3_ref)
 
     dt = x_ref.dtype
-    x = x_ref[0].reshape(H * W, CIN)
-    h1 = h1_ref[0].reshape(H * W, F)
-    h2 = h2_ref[0].reshape(H * W, F)
-    g = g_ref[0].reshape(H * W, CIN)
-    m3 = _relu_mask_mul(g, out_ref[0].reshape(H * W, CIN))
+    R = G * H * W
+    x = x_ref[...].reshape(R, CIN)
+    h1 = h1_ref[...].reshape(R, F)
+    h2 = h2_ref[...].reshape(R, F)
+    g = g_ref[...].reshape(R, CIN)
+    m3 = _relu_mask_mul(g, out_ref[...].reshape(R, CIN))
     dh2 = jax.lax.dot_general(
         m3, w3_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -171,16 +181,16 @@ def _bwd_saved_kernel(
         h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m2 = _relu_mask_mul(dh2.astype(dt), h2)
-    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
-    m2_padded = jnp.pad(m2.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
-    dh1 = jnp.zeros((H * W, F), jnp.float32)
+    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((R, F), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            h1_shift = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
             a2_ref[ky, kx] += jax.lax.dot_general(
                 h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            m2_shift = m2_padded[2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(H * W, F)
+            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
             dh1 = dh1 + jax.lax.dot_general(
                 m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -192,7 +202,7 @@ def _bwd_saved_kernel(
     a1_ref[:] += jax.lax.dot_general(
         x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dx_ref[0] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(H, W, CIN)
+    dx_ref[...] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(G, H, W, CIN)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -201,25 +211,27 @@ def _bwd_saved_kernel(
         dw3_ref[...] = a3_ref[...]
 
 
-def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool):
+def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool, gsz: int = 1):
     N, H, W, CIN = x.shape
     F = w1.shape[1]
-    kernel = functools.partial(_bwd_saved_kernel, H=H, W=W, CIN=CIN, F=F)
+    G = gsz
+    assert N % G == 0, (N, G)
+    kernel = functools.partial(_bwd_saved_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
@@ -246,7 +258,7 @@ def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool):
 def _bwd_kernel(
     x_ref, g_ref, out_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     dx_ref, dw1_ref, dw2_ref, dw3_ref,
-    a1_ref, a2_ref, a3_ref, *, H, W, CIN, F,
+    a1_ref, a2_ref, a3_ref, *, G, H, W, CIN, F,
 ):
     i = pl.program_id(0)
 
@@ -257,20 +269,16 @@ def _bwd_kernel(
         a3_ref[:] = jnp.zeros_like(a3_ref)
 
     dt = x_ref.dtype
-    x = x_ref[0].reshape(H * W, CIN)
+    R = G * H * W
+    x = x_ref[...].reshape(R, CIN)
     # recompute interiors in VMEM (remat without HBM traffic)
     h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(dt)
-    padded = jnp.pad(h1.reshape(H, W, F), ((1, 1), (1, 1), (0, 0)))
-    h2 = jnp.zeros((H * W, F), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            shifted = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
-            h2 = h2 + jnp.dot(shifted, w2_ref[ky, kx], preferred_element_type=jnp.float32)
+    h2, padded = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
     h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(dt)
 
-    g = g_ref[0].reshape(H * W, CIN)
-    m3 = _relu_mask_mul(g, out_ref[0].reshape(H * W, CIN))
+    g = g_ref[...].reshape(R, CIN)
+    m3 = _relu_mask_mul(g, out_ref[...].reshape(R, CIN))
     # conv3 grads
     dh2 = jax.lax.dot_general(
         m3, w3_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -281,17 +289,16 @@ def _bwd_kernel(
     m2 = _relu_mask_mul(dh2.astype(dt), h2)
     # conv2 transpose: dh1[p] = sum_k m2 shifted by -k @ w2[k]^T; and
     # dw2[ky,kx] += shift(h1, ky, kx)^T @ m2  (same shifts as forward)
-    m2g = m2.reshape(H, W, F)
-    m2_padded = jnp.pad(m2g, ((1, 1), (1, 1), (0, 0)))
-    dh1 = jnp.zeros((H * W, F), jnp.float32)
+    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((R, F), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            h1_shift = padded[ky : ky + H, kx : kx + W].reshape(H * W, F)
+            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
             a2_ref[ky, kx] += jax.lax.dot_general(
                 h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             # transpose conv: flip the shift direction (2-ky, 2-kx)
-            m2_shift = m2_padded[2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(H * W, F)
+            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
             dh1 = dh1 + jax.lax.dot_general(
                 m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -304,7 +311,7 @@ def _bwd_kernel(
     a1_ref[:] += jax.lax.dot_general(
         x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dx_ref[0] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(H, W, CIN)
+    dx_ref[...] = (dx + m3.astype(jnp.float32)).astype(dt).reshape(G, H, W, CIN)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -313,17 +320,19 @@ def _bwd_kernel(
         dw3_ref[...] = a3_ref[...]
 
 
-def _block_bwd_pallas(x, g, out, w1, b1, w2, b2, w3, b3, interpret: bool):
+def _block_bwd_pallas(x, g, out, w1, b1, w2, b2, w3, b3, interpret: bool, gsz: int = 1):
     N, H, W, CIN = x.shape
     F = w1.shape[1]
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, CIN=CIN, F=F)
+    G = gsz
+    assert N % G == 0, (N, G)
+    kernel = functools.partial(_bwd_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
     dx, dw1, dw2, dw3 = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
@@ -332,7 +341,7 @@ def _block_bwd_pallas(x, g, out, w1, b1, w2, b2, w3, b3, interpret: bool):
             pl.BlockSpec((1, CIN), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
@@ -392,23 +401,23 @@ def _xla_forward(x, w1, b1, w2, b2, w3, b3):
     return jnp.maximum(y.astype(jnp.float32) + b3 + x.astype(jnp.float32), 0.0).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _block(x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool]):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _block(x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool], gsz: int = 1):
     if _use_pallas(impl):
-        return _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
+        return _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret), g=gsz)
     return _xla_forward(x, w1, b1, w2, b2, w3, b3)
 
 
-def _block_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret):
-    out = _block(x, w1, b1, w2, b2, w3, b3, impl, interpret)
+def _block_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret, gsz=1):
+    out = _block(x, w1, b1, w2, b2, w3, b3, impl, interpret, gsz)
     return out, (x, w1, b1, w2, b2, w3, b3, out)
 
 
-def _block_bwd(impl, interpret, resids, g):
+def _block_bwd(impl, interpret, gsz, resids, g):
     x, w1, b1, w2, b2, w3, b3, out = resids
     if _use_pallas(impl):
         dx, dw1, dw2, dw3 = _block_bwd_pallas(
-            x, g, out, w1, b1, w2, b2, w3, b3, _interp(interpret)
+            x, g, out, w1, b1, w2, b2, w3, b3, _interp(interpret), gsz=gsz
         )
     else:
         # XLA-math reference backward (same formulas, materialized tensors)
@@ -469,36 +478,44 @@ def _block_bwd(impl, interpret, resids, g):
 _block.defvjp(_block_fwd, _block_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _block_saved(x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool]):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _block_saved(
+    x, w1, b1, w2, b2, w3, b3, impl: str, interpret: Optional[bool], gsz: int = 1
+):
     """Saved-residuals variant: the Pallas forward emits h1/h2 so the backward
     skips the in-VMEM recompute. Measured fastest fwd+bwd at stage-0 geometry:
-    9.99 ms vs 12.01 recompute vs 12.76 XLA autodiff (.bench/bench_blockbwd.py)."""
+    9.99 ms vs 12.01 recompute vs 12.76 XLA autodiff (.bench/bench_blockbwd.py).
+
+    The primal (non-differentiated call, e.g. eval/inference) uses the no-save
+    forward — h1/h2 are only materialized in _block_saved_fwd, where the VJP
+    actually consumes them (ADVICE r2: the save variant pays two dead
+    stage-sized HBM writes otherwise)."""
     if _use_pallas(impl):
-        out, _, _ = _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
-        return out
+        return _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret), g=gsz)
     return _xla_forward(x, w1, b1, w2, b2, w3, b3)
 
 
-def _block_saved_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret):
+def _block_saved_fwd(x, w1, b1, w2, b2, w3, b3, impl, interpret, gsz=1):
     if _use_pallas(impl):
-        out, h1, h2 = _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, _interp(interpret))
+        out, h1, h2 = _block_fwd_save_pallas(
+            x, w1, b1, w2, b2, w3, b3, _interp(interpret), g=gsz
+        )
         return out, (x, w1, b1, w2, b2, w3, b3, out, h1, h2)
     out = _xla_forward(x, w1, b1, w2, b2, w3, b3)
     return out, (x, w1, b1, w2, b2, w3, b3, out, None, None)
 
 
-def _block_saved_bwd(impl, interpret, resids, g):
+def _block_saved_bwd(impl, interpret, gsz, resids, g):
     x, w1, b1, w2, b2, w3, b3, out, h1, h2 = resids
     if _use_pallas(impl):
         dx, dw1, dw2, dw3 = _block_bwd_saved_pallas(
-            x, g, out, h1, h2, w1, w2, w3, _interp(interpret)
+            x, g, out, h1, h2, w1, w2, w3, _interp(interpret), gsz=gsz
         )
         zb = lambda b: jnp.zeros_like(b)
         return (dx, dw1.astype(w1.dtype), zb(b1), dw2.astype(w2.dtype), zb(b2),
                 dw3.astype(w3.dtype), zb(b3))
     # XLA fallback: recompute-based reference backward (same formulas)
-    return _block_bwd(impl, interpret, (x, w1, b1, w2, b2, w3, b3, out), g)
+    return _block_bwd(impl, interpret, gsz, (x, w1, b1, w2, b2, w3, b3, out), g)
 
 
 _block_saved.defvjp(_block_saved_fwd, _block_saved_bwd)
@@ -516,13 +533,18 @@ def fused_bottleneck_block(
     eps: float = 1e-5,
     impl: str = "auto",
     interpret: Optional[bool] = None,
+    g: int = 1,
 ) -> jnp.ndarray:
     """Fused stride-1 identity-residual bottleneck block under frozen affine.
 
     Folds each frozen BN affine into the preceding conv's effective weights/bias
     (f32 fold, like pointwise.py), then runs the whole block as one kernel each
     way. Gradients flow to x and the three conv kernels; the BN buffers are
-    frozen (zero cotangents, stop-gradiented by the caller)."""
+    frozen (zero cotangents, stop-gradiented by the caller).
+
+    `g` = images per Pallas grid step. Deep stages have tiny per-image row
+    counts (stage 3: 8x8 = 64 rows) that starve the 128-row MXU; batching g
+    images per step restores full tiles. Must divide the batch."""
     CIN = x.shape[-1]
     F = k1.shape[-1]
 
@@ -536,4 +558,4 @@ def fused_bottleneck_block(
     w2 = (k2.astype(jnp.float32) * (s2 * jax.lax.rsqrt(v2 + eps))).astype(x.dtype)
     b2 = (bi2 - m2 * (s2 * jax.lax.rsqrt(v2 + eps))).reshape(1, F)
     w3, b3 = fold(k3, s3, bi3, m3, v3, F, CIN, (F, CIN))
-    return _block_saved(x, w1, b1, w2, b2, w3, b3, impl, interpret)
+    return _block_saved(x, w1, b1, w2, b2, w3, b3, impl, interpret, g)

@@ -10,6 +10,7 @@ Reference equivalents (SURVEY.md §2.3):
 
 from argus_tpu.parallel.mesh import (
     batch_sharding,
+    device_prefetch,
     global_batch,
     init_distributed,
     make_mesh,
@@ -19,6 +20,7 @@ from argus_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "device_prefetch",
     "global_batch",
     "init_distributed",
     "make_mesh",

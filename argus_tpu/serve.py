@@ -3,10 +3,15 @@
 The production deployment story for this estimator is a camera control loop: grab
 two frames -> estimate the cube pose -> feed the controller, at sub-2 ms latency
 (BASELINE.md target; reference inference path: argus/utils.py:179-189 +
-argus/validate_real.py). `Estimator` packages that path:
+argus/validate_real.py). `Estimator` packages that path for BOTH model families:
 
-  * loads a training checkpoint (either model family),
-  * compiles ONE XLA program uint8 images -> SE(3) pose at construction,
+  * reads the model family + config from the checkpoint's embedded metadata
+    (checkpoint.py format 2) — no out-of-band config needed; an explicit config
+    argument overrides (and is required for legacy bare-state checkpoints of
+    non-default models),
+  * compiles ONE XLA program uint8 images -> SE(3) pose at construction
+    (direct se(3) regression for NCameraCNN; corner soft-argmax ->
+    triangulation -> Procrustes for CubeKeypointNet),
   * `predict` takes raw (H, W, 3) frames or stacked (B, H, W, 3*n_cams) arrays and
     returns 7-vector poses (xyzw) as numpy, with optional MJPC wxyz order.
 
@@ -21,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from argus_tpu.checkpoint import load_checkpoint
+from argus_tpu.checkpoint import load_checkpoint_with_meta
 from argus_tpu.geom import se3_exp, xyzxyzw_to_xyzwxyz_SE3
-from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.models import resolve_model
+from argus_tpu.models.keypoint_net import fit_pose, nominal_camera_matrices
 
 
 class Estimator:
@@ -32,22 +38,28 @@ class Estimator:
     def __init__(
         self,
         checkpoint_path: str,
-        model_config: Optional[NCameraCNNConfig] = None,
+        model_config=None,
         height: int = 256,
         width: int = 256,
         batch_size: int = 1,
     ) -> None:
-        self.cfg = model_config or NCameraCNNConfig()
+        raw, meta = load_checkpoint_with_meta(checkpoint_path)
+        model, self.cfg, self.model_type = resolve_model(meta, model_config)
+        if meta.get("center_crop") and model_config is None:
+            height, width = (int(v) for v in meta["center_crop"])
         self.hw = (height, width)
         self.batch_size = batch_size
-        model = NCameraCNN(self.cfg)
-        raw = load_checkpoint(checkpoint_path)
         variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        cam_P = nominal_camera_matrices(height, width) if self.model_type == "keypoint" else None
 
         @jax.jit
         def _infer(images_u8: jax.Array) -> jax.Array:
             images = images_u8.astype(jnp.float32) / 255.0
-            return se3_exp(model.apply(variables, images, train=False))
+            pred = model.apply(variables, images, train=False)
+            if self.model_type == "keypoint":
+                uv, _ = pred
+                return fit_pose(cam_P, uv)
+            return se3_exp(pred)
 
         self._infer = _infer
         # warm the program so the first control-loop tick is fast

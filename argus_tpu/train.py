@@ -52,7 +52,7 @@ from argus_tpu.models.keypoint_net import (
 )
 from argus_tpu.ops.augment import AugmentationConfig, apply_augmentation, spaghetti_arcs
 from argus_tpu.ops.image import u8_to_f32
-from argus_tpu.parallel import global_batch, make_mesh, param_shardings
+from argus_tpu.parallel import device_prefetch, global_batch, make_mesh, param_shardings
 
 
 # ───────────────────────────── config ─────────────────────────────
@@ -112,7 +112,9 @@ class TrainConfig:
     num_chips: Optional[int] = None
     num_model_shards: int = 1
     amp: bool = False
-    num_workers: int = 16
+    # loader workers, derived from the actual host (the reference hard-codes 16,
+    # argus/train.py:147-149 — a lie on a 1-core box; VERDICT r2)
+    num_workers: int = field(default_factory=lambda: min(16, max(1, os.cpu_count() or 1)))
 
     # validation, printing, and saving
     val_epochs: int = 1
@@ -168,6 +170,22 @@ def make_optimizer(max_grad_norm: float) -> optax.GradientTransformation:
     argus/train.py:316-319). The LR is applied separately from TrainState.lr so the
     host-side plateau scheduler can adjust it without rebuilding opt state."""
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.scale_by_adam())
+
+
+def checkpoint_meta(cfg: TrainConfig) -> dict:
+    """Model metadata stored INSIDE checkpoints (checkpoint.py format 2): the
+    family and the exact config that trained (amp dtype override applied, like
+    build_model), plus the crop — everything serve/validate/validate_real need
+    to reconstruct the model without out-of-band knowledge (VERDICT r2 #4)."""
+    import dataclasses as dc
+
+    model_type = getattr(cfg, "model_type", "pose_cnn")
+    mcfg = cfg.keypoint_config if model_type == "keypoint" else cfg.model_config
+    if cfg.amp and mcfg.dtype != "bfloat16":
+        mcfg = dc.replace(mcfg, dtype="bfloat16")
+    ds = getattr(cfg, "dataset_config", None)
+    crop = list((ds.center_crop if ds is not None else None) or (256, 256))
+    return {"model_type": model_type, "model_config": dc.asdict(mcfg), "center_crop": crop}
 
 
 def build_model(cfg: TrainConfig):
@@ -273,7 +291,16 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
 
         (lsum, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         flat, unravel = ravel_pytree(grads)
-        vec = jax.lax.psum(jnp.concatenate([jnp.stack([lsum, jnp.sum(mask)]), flat]), "data")
+        cat = jnp.concatenate([jnp.stack([lsum, jnp.sum(mask)]), flat])
+        # a FEW buckets, not one: a single whole-gradient collective sat 20-50 s
+        # at the rendezvous on the virtual CPU mesh (MULTICHIP_r02 tail — one
+        # thread's payload prep skews its arrival); 4 buckets keep the O(1)
+        # launch count while quartering the skew per rendezvous
+        n_buckets = min(4, cat.size)
+        bounds = [round(i * cat.size / n_buckets) for i in range(n_buckets + 1)]
+        vec = jnp.concatenate(
+            [jax.lax.psum(cat[a:b], "data") for a, b in zip(bounds[:-1], bounds[1:])]
+        )
         gcnt = jnp.maximum(vec[1], 1.0)
         loss = vec[0] / gcnt
         grads = unravel(vec[2:] / gcnt)
@@ -282,6 +309,13 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
     if shmap_dp:
         from jax.sharding import PartitionSpec as P
 
+        # SOUNDNESS GATE: batch_stats come back with out_specs P() (replicated)
+        # below, which is only correct because bn_frozen guarantees they are
+        # returned UNCHANGED per shard. Relaxing this gate to non-frozen BN would
+        # silently assemble one shard's per-shard statistics as global state
+        # (check_vma=False disables the checker that would catch it). Keep the
+        # assert in lockstep with the out_specs. (ADVICE r2)
+        assert getattr(mcfg, "bn_frozen", False), "shmap_dp requires frozen BN"
         _sharded_lg = jax.shard_map(
             _shard_loss_and_grad,
             mesh=mesh,
@@ -532,7 +566,7 @@ def train(cfg: TrainConfig) -> str:
         # always restore the SIGTERM handler — leaving it installed after an
         # exception would silently swallow real termination signals
         guard.__exit__()
-    save_checkpoint(ckpt_path, state)
+    save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
     logger.finish()
     if preempted:
         rank_print(f"    Preempted at step {global_step}; resumable from {ckpt_path}", rank)
@@ -568,10 +602,13 @@ def _train_epochs(
                 global_step += 1
             pending.clear()
 
-        for batch in tqdm(
-            setup["train_loader"], desc="Iterations", leave=False, disable=(rank != 0)
+        # double-buffered H2D: the next batch's transfer overlaps the in-flight step
+        for device_batch in tqdm(
+            device_prefetch(setup["train_loader"], mesh),
+            desc="Iterations",
+            leave=False,
+            disable=(rank != 0),
         ):
-            device_batch = global_batch(mesh, batch)
             state, loss = train_step(state, device_batch)
             pending.append(loss)
             if len(pending) >= 50:
@@ -610,7 +647,7 @@ def _train_epochs(
 
         # ── checkpoint (full train state; single format for 1..N chips) ──
         if epoch % cfg.save_epochs == 0:
-            save_checkpoint(ckpt_path, state)
+            save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
 
     return state, global_step, lr, preempted
 

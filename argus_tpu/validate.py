@@ -22,11 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import Optional
+
 from argus_tpu import ROOT
-from argus_tpu.checkpoint import load_checkpoint
+from argus_tpu.checkpoint import load_checkpoint_with_meta
 from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig, HostDataLoader
-from argus_tpu.geom import se3_exp, se3_matrix
-from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.geom import se3_exp, se3_log, se3_matrix
+from argus_tpu.models import NCameraCNNConfig, resolve_model
 from argus_tpu.ops.augment import AugmentationConfig, apply_augmentation
 from argus_tpu.ops.image import u8_to_f32
 from argus_tpu.train import geometric_loss_fn
@@ -40,7 +42,9 @@ class ValConfig:
     Fields:
         model_path: checkpoint to validate (.ckpt from argus_tpu.train).
         dataset_config: dataset configuration.
-        model_config: model configuration.
+        model_config: optional model-config override. Default None: the model
+            family + config are reconstructed from the checkpoint's embedded
+            metadata (either family; checkpoint.py format 2).
         aug_config: augmentation configuration.
         use_train: validate on the training split instead of test.
         max_examples: cap on rendered examples (None = all).
@@ -48,7 +52,7 @@ class ValConfig:
 
     model_path: str
     dataset_config: CameraCubePoseDatasetConfig
-    model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+    model_config: Optional[NCameraCNNConfig] = None
     aug_config: AugmentationConfig = field(default_factory=AugmentationConfig)
     use_train: bool = False
     max_examples: int = 100
@@ -90,15 +94,20 @@ def validate(cfg: ValConfig) -> dict:
     output_path = os.path.join(ROOT, "outputs", f"{split}_visuals", ckpt_name)
     os.makedirs(output_path, exist_ok=True)
 
-    # model + weights
-    model = NCameraCNN(cfg.model_config)
-    raw = load_checkpoint(cfg.model_path)
+    # model + weights (family/config from the checkpoint's embedded metadata)
+    raw, meta = load_checkpoint_with_meta(cfg.model_path)
+    model, model_cfg, model_type = resolve_model(meta, cfg.model_config)
     variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
 
     # dataset (batch of 1, in order — reference argus/validate.py:110-111)
     dataset = CameraCubePoseDataset(cfg.dataset_config, train=cfg.use_train)
     loader = HostDataLoader(dataset, batch_size=1, shuffle=False, num_workers=2)
-    n_cams = cfg.model_config.n_cams
+    n_cams = model_cfg.n_cams
+    if model_type == "keypoint":
+        from argus_tpu.models.keypoint_net import fit_pose, nominal_camera_matrices
+
+        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        cam_P = nominal_camera_matrices(*crop)
 
     @jax.jit
     def infer(variables, images_u8, pose_true, key):
@@ -117,9 +126,17 @@ def validate(cfg: ValConfig) -> dict:
             )
             per_cam = per_cam.reshape(B, n_cams, 3, H, W)
             images = jnp.transpose(per_cam, (0, 3, 4, 1, 2)).reshape(B, H, W, C)
-        pred_se3 = model.apply(variables, images, train=False)
-        loss = geometric_loss_fn(pred_se3, pose_true)
-        return images, se3_exp(pred_se3), loss
+        pred = model.apply(variables, images, train=False)
+        if model_type == "keypoint":
+            # same comparable metric as train.make_eval_step: the geodesic error
+            # of the fully-fitted pose (soft-argmax -> triangulation -> Procrustes)
+            uv, _ = pred
+            pose_pred = fit_pose(cam_P, uv)
+            loss = geometric_loss_fn(se3_log(pose_pred), pose_true)
+        else:
+            pose_pred = se3_exp(pred)
+            loss = geometric_loss_fn(pred, pose_true)
+        return images, pose_pred, loss
 
     losses = []
     base_key = jax.random.PRNGKey(cfg.seed)

@@ -19,19 +19,21 @@ both are host-side dependencies, gated at call time.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import Optional
+
 from argus_tpu import ROOT
-from argus_tpu.checkpoint import load_checkpoint
+from argus_tpu.checkpoint import load_checkpoint_with_meta
 from argus_tpu.data import CameraCubePoseDatasetConfig
 from argus_tpu.data.dataset import _center_crop_np, _decode_png
 from argus_tpu.geom import se3_exp, xyzxyzw_to_xyzwxyz_SE3
-from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+from argus_tpu.models import NCameraCNN, NCameraCNNConfig, resolve_model
 
 
 @dataclass
@@ -41,13 +43,15 @@ class ValRealConfig:
     Fields:
         model_path: checkpoint to validate.
         dataset_config: points at the real-capture dataset directory (flat HDF5).
-        model_config: model configuration.
+        model_config: optional model-config override. Default None: the model
+            family + config come from the checkpoint's embedded metadata
+            (either family; checkpoint.py format 2).
         mujoco_xml: task scene with cam1/cam2 + the goal body to hide.
     """
 
     model_path: str
     dataset_config: CameraCubePoseDatasetConfig
-    model_config: NCameraCNNConfig = field(default_factory=NCameraCNNConfig)
+    model_config: Optional[NCameraCNNConfig] = None
     mujoco_xml: str = os.path.join(ROOT, "mujoco", "leap", "task.xml")
     # pose the articulated LEAP hand in the re-renders: per-frame `q_leap` when the
     # HDF5 carries it, else the scene's "home" keyframe grasp. The reference leaves
@@ -56,14 +60,25 @@ class ValRealConfig:
     pose_hand: bool = True
 
 
-def make_pose_estimator(model: NCameraCNN, variables: dict):
+def make_pose_estimator(
+    model: NCameraCNN, variables: dict, model_type: str = "pose_cnn", crop=(256, 256)
+):
     """Compile the single-program real-time estimator: uint8 images -> SE(3) pose
-    (xyzw). This is the control-loop artifact (reference get_pose, argus/utils.py:179)."""
+    (xyzw), for either model family. This is the control-loop artifact (reference
+    get_pose, argus/utils.py:179)."""
+    if model_type == "keypoint":
+        from argus_tpu.models.keypoint_net import fit_pose, nominal_camera_matrices
+
+        cam_P = nominal_camera_matrices(*crop)
 
     @jax.jit
     def estimate(images_u8: jax.Array) -> jax.Array:
         images = images_u8.astype(jnp.float32) / 255.0
-        return se3_exp(model.apply(variables, images, train=False))
+        pred = model.apply(variables, images, train=False)
+        if model_type == "keypoint":
+            uv, _ = pred
+            return fit_pose(cam_P, uv)
+        return se3_exp(pred)
 
     return estimate
 
@@ -82,10 +97,16 @@ def validate_real(cfg: ValRealConfig) -> str:
     except ImportError as e:  # pragma: no cover
         raise ImportError("validate_real requires the `mujoco` package (host-side)") from e
 
-    # model + compiled estimator
-    model = NCameraCNN(cfg.model_config)
-    raw = load_checkpoint(cfg.model_path)
-    estimate = make_pose_estimator(model, {"params": raw["params"], "batch_stats": raw["batch_stats"]})
+    # model + compiled estimator (family/config from the checkpoint's metadata)
+    raw, meta = load_checkpoint_with_meta(cfg.model_path)
+    model, _, model_type = resolve_model(meta, cfg.model_config)
+    crop0 = tuple(cfg.dataset_config.center_crop or (256, 256))
+    estimate = make_pose_estimator(
+        model,
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]},
+        model_type=model_type,
+        crop=crop0,
+    )
 
     # MuJoCo scene for re-rendering the predicted pose
     m = mujoco.MjModel.from_xml_path(cfg.mujoco_xml)

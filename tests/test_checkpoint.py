@@ -75,3 +75,97 @@ def test_validate_pipeline(tmp_path, dummy_data_path):
     assert np.isfinite(result["mean_loss"])
     assert os.path.exists(os.path.join(result["output_path"], "example_0.png"))
     assert os.path.exists(os.path.join(result["output_path"], "loss_histogram.png"))
+
+
+def test_meta_roundtrip_and_legacy_load(tmp_path):
+    """Format-2 checkpoints carry model metadata; legacy bare-state files still
+    load (with empty meta)."""
+    from flax import serialization
+
+    from argus_tpu.checkpoint import load_checkpoint_with_meta
+
+    path = str(tmp_path / "m.ckpt")
+    meta = {
+        "model_type": "keypoint",
+        "model_config": {"n_cams": 2, "backbone": "resnet18"},
+        "center_crop": [64, 64],
+    }
+    save_checkpoint(path, {"v": jnp.asarray(1.0)}, meta=meta)
+    state, m = load_checkpoint_with_meta(path)
+    assert m["model_type"] == "keypoint"
+    assert list(m["center_crop"]) == [64, 64]
+    assert m["model_config"]["backbone"] == "resnet18"
+    assert float(state["v"]) == 1.0
+
+    legacy = str(tmp_path / "legacy.ckpt")
+    with open(legacy, "wb") as f:
+        f.write(serialization.msgpack_serialize({"v": np.asarray(2.0)}))
+    state, m = load_checkpoint_with_meta(legacy)
+    assert float(state["v"]) == 2.0 and m == {}
+    assert float(load_checkpoint(legacy)["v"]) == 2.0
+
+
+def test_model_from_meta_reconstructs_families():
+    """model_from_meta builds the right family + coerces msgpack'd types
+    (lists back to tuples, bytes to str)."""
+    from argus_tpu.models import model_from_meta
+    from argus_tpu.models.keypoint_net import CubeKeypointNet
+
+    model, cfg, mt = model_from_meta(
+        {
+            "model_type": "keypoint",
+            "model_config": {"n_cams": 2, "backbone": b"resnet18", "head_features": 16},
+        }
+    )
+    assert mt == "keypoint" and isinstance(model, CubeKeypointNet)
+    assert cfg.backbone == "resnet18" and cfg.head_features == 16
+
+    from argus_tpu.models import NCameraCNN
+
+    model, cfg, mt = model_from_meta(
+        {
+            "model_type": "pose_cnn",
+            "model_config": {
+                "backbone": "resnet18",
+                "resnet_output_dim": 32,
+                "fuse_block_stages": [0, 1],
+                "unknown_future_field": 7,  # dropped, not a crash
+            },
+        }
+    )
+    assert mt == "pose_cnn" and isinstance(model, NCameraCNN)
+    assert cfg.fuse_block_stages == (0, 1) and cfg.resnet_output_dim == 32
+    # empty meta -> the reference family with defaults (legacy checkpoints)
+    _, cfg, mt = model_from_meta({})
+    assert mt == "pose_cnn" and cfg.backbone == "resnet50"
+
+
+def test_validate_pipeline_keypoint_from_meta(tmp_path, dummy_data_path):
+    """A keypoint-family checkpoint round-trips through validate() with NO
+    out-of-band config: the family is reconstructed from the embedded metadata
+    (VERDICT r2 #4)."""
+    import os
+
+    from argus_tpu.data import CameraCubePoseDatasetConfig
+    from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
+    from argus_tpu.train import TrainConfig, checkpoint_meta, create_train_state
+    from argus_tpu.validate import ValConfig, validate
+
+    cfg = TrainConfig(
+        model_type="keypoint",
+        keypoint_config=CubeKeypointNetConfig(n_cams=2, backbone="resnet18", head_features=16),
+        wandb_log=False,
+        save_dir=str(tmp_path),
+    )
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64))
+    ckpt = str(tmp_path / "kp.ckpt")
+    save_checkpoint(ckpt, state, meta=checkpoint_meta(cfg))
+
+    vcfg = ValConfig(
+        model_path=ckpt,
+        dataset_config=CameraCubePoseDatasetConfig(dummy_data_path, center_crop=(64, 64)),
+        max_examples=1,
+    )
+    result = validate(vcfg)
+    assert np.isfinite(result["mean_loss"])
+    assert os.path.exists(os.path.join(result["output_path"], "example_0.png"))
