@@ -151,6 +151,26 @@ class _FrozenBNParams(nn.Module):
         )
 
 
+
+def _grid_images(n: int, h: int, w: int, cin: int) -> int:
+    """Images per Pallas grid step for the fused block kernels.
+
+    Two binding constraints, both measured on v5e (110 MB scoped-VMEM limit):
+      * MXU rows: target ~2048 rows per step (stage 3's 8x8 = 64 rows/image
+        starves the 128-row MXU alone);
+      * VMEM: the saved-residual backward holds ~5 double-buffered x-sized
+        blocks + f32 weight-grad accumulators + f32 temps; capping the x-like
+        block at 4 MB (G*H*W*CIN*2B) keeps every ResNet-50/101 geometry under
+        the limit (G=32 at stage 3 compiled to a 118 MB demand and OOMed;
+        G=16 fits).
+    """
+    import math
+
+    rows_cap = max(1, 2048 // (h * w))
+    vmem_cap = max(1, (4 * 1024 * 1024) // (h * w * cin * 2))
+    return math.gcd(n, min(rows_cap, vmem_cap))
+
+
 class BottleneckBlock(nn.Module):
     """1x1 -> 3x3 -> 1x1 residual block (ResNet-50/101/152), expansion 4.
 
@@ -207,18 +227,13 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + residual)
 
     def _call_fused_block(self, x):
-        import math
-
         from argus_tpu.ops.pallas.block_fused import fused_bottleneck_block
 
         eps = self.norm.keywords.get("epsilon", 1e-5)
         cin = x.shape[-1]
         f = self.filters
-        # images per Pallas grid step: target ~4096 MXU rows (stage-0's natural
-        # 64x64 tile); deep stages batch multiple images so the 128-row MXU
-        # stays full (stage 3: 8x8 = 64 rows/image alone)
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
-        g = math.gcd(n, max(1, 4096 // (h * w)))
+        g = _grid_images(n, h, w, cin)
 
         k1 = _Conv1x1Params(f, name="Conv_0")(cin)
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
@@ -234,8 +249,6 @@ class BottleneckBlock(nn.Module):
         )
 
     def _call_fused_proj(self, x):
-        import math
-
         from argus_tpu.ops.pallas.proj_fused import fused_projection_block
 
         eps = self.norm.keywords.get("epsilon", 1e-5)
@@ -243,7 +256,7 @@ class BottleneckBlock(nn.Module):
         f = self.filters
         cout = f * self.expansion
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
-        g = math.gcd(n, max(1, 4096 // (h * w)))
+        g = _grid_images(n, h, w, cin)
 
         k1 = _Conv1x1Params(f, name="Conv_0")(cin)
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
