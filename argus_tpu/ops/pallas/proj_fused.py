@@ -13,12 +13,14 @@ docs/ROUND2_NOTES.md). This module removes them:
     sc = x[::s, ::s] @ wsc + bsc                1x1 shortcut, CIN -> COUT
     out = relu(y + sc)
 
-Stride-2 sampling inside the kernel avoids strided vector loads (Mosaic-
-hostile) by reshape-based parity extraction: split a spatial dim into
-(half, 2) and slice index 0 — plain static ops the compiler lowers to cheap
-sublane selects. The backward scatters dh1 through the transpose of that
-sampling by building per-(ky,kx) contribution grids and parity-interleaving
-them back to full resolution (again: stack + reshape, no scatters).
+Stride-2 sampling inside the kernel avoids both strided vector loads and
+element-shuffle relayouts by exploiting the row-major layout identity
+(H, W, F) == (H, W/2, 2F): column parity is a lane-aligned slice, row parity
+a coarse contiguous-chunk select (see the helper-section comment for the
+measured motivation). The backward scatters dh1 through the transpose of
+that sampling by building per-(ky,kx) contribution grids and
+parity-interleaving them back to full resolution (lane concat + row stack,
+no scatters).
 
 Frozen-affine only (bn_frozen + bn_frozen_affine), like block_fused.py; the
 BN affines are folded into effective weights/biases by the caller-facing
@@ -47,42 +49,81 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 # ───────────────────────── stride-2 sampling helpers ─────────────────────────
+#
+# Mosaic relayout economics drive the design. A "pick every other column"
+# subsample of an (H, W, F) grid, written as reshape-to-(..., 2, F)-and-slice,
+# interleaves F-sized blocks and lowers to element shuffles — measured 13-16x
+# off the roofline at stage-1 proj geometry (21 ms for a 1.6 ms-roofline
+# forward, outputs/traces/step_fuseall; precomputing parity grids did not help
+# because the split itself IS the shuffle). The cheap formulation exploits the
+# row-major layout identity (H, W, F) == (H, W/2, 2F): column parity becomes a
+# LANE slice at an F-aligned offset (F is a multiple of 128 at every ResNet
+# geometry here — no shuffles), and row parity selects alternate CONTIGUOUS
+# whole-row chunks (coarse block moves). Every stride-2 tap, the shortcut
+# subsample, and the backward interleave are built only from these two ops.
 
 
-def _even_rows(t, n_keep):
-    """(..., 2n, W, F) -> (..., n, W, F): keep rows 0, 2, 4, ... (reshape+slice —
-    no strided vector loads)."""
-    s = t.shape
-    return t.reshape(*s[:-3], n_keep, 2, s[-2], s[-1])[..., :, 0, :, :]
+# widest merged lane view Mosaic accepts: 2048-lane (W,1024)->(W/2,2048) views
+# fail compilation at stage-3 proj geometry while 1024-lane ones pass; wider
+# channel counts are processed in 512-lane chunks
+_LANE_MERGE_MAX = 1024
 
 
-def _even_cols(t, n_keep):
-    """(..., H, 2n, F) -> (..., H, n, F): keep cols 0, 2, 4, ..."""
-    s = t.shape
-    return t.reshape(*s[:-3], s[-3], n_keep, 2, s[-1])[..., :, :, 0, :]
-
-
-def _stride2_tap(p, ky, kx, G, Ho, Wo, F):
-    """p: (G, H+2, W+2, F) zero-padded h1. Returns the (ky, kx) tap of a
-    stride-2 3x3 conv, i.e. p[:, ky : ky+2Ho : 2, kx : kx+2Wo : 2, :], as
-    (G*Ho*Wo, F) rows."""
-    rows = _even_rows(p[:, ky : ky + 2 * Ho], Ho)  # (G, Ho, W+2, F)
-    taps = _even_cols(rows[:, :, kx : kx + 2 * Wo], Wo)  # (G, Ho, Wo, F)
-    return taps.reshape(G * Ho * Wo, F)
+def _stride2_tap(padded, ky, kx, G, Ho, Wo, F):
+    """The (ky, kx) tap of a stride-2 3x3 conv over the zero-padded grid
+    (G, H+2, W+2, F): p[:, ky : ky+2Ho : 2, kx : kx+2Wo : 2, :] as
+    (G*Ho*Wo, F) rows. Row 2a+r lives at view index [a, r]; column 2b+c lives
+    at view block b, lane slice [cF:(c+1)F]."""
+    if 2 * F > _LANE_MERGE_MAX:
+        h = F // 2
+        return jnp.concatenate(
+            [
+                _stride2_tap(padded[..., :h], ky, kx, G, Ho, Wo, h),
+                _stride2_tap(padded[..., h:], ky, kx, G, Ho, Wo, h),
+            ],
+            axis=-1,
+        )
+    Gd, H2, W2, _ = padded.shape
+    v = padded.reshape(G, H2 // 2, 2, W2 // 2, 2 * F)
+    t = v[
+        :,
+        ky // 2 : ky // 2 + Ho,
+        ky % 2,
+        kx // 2 : kx // 2 + Wo,
+        (kx % 2) * F : (kx % 2 + 1) * F,
+    ]
+    return t.reshape(G * Ho * Wo, F)
 
 
 def _subsample2(x, G, Ho, Wo, C):
-    """x: (G, 2Ho, 2Wo, C) -> (G*Ho*Wo, C): the [::2, ::2] shortcut sampling."""
-    rows = _even_rows(x, Ho)  # (G, Ho, 2Wo, C)
-    return _even_cols(rows, Wo).reshape(G * Ho * Wo, C)
+    """x: (G, 2Ho, 2Wo, C) -> (G*Ho*Wo, C): the [::2, ::2] shortcut sampling.
+
+    Implemented as the (1,1) tap over a zero-padded copy (p[1+2j] = x[2j]):
+    Mosaic rejects the parity view applied directly to the kernel's input ref
+    at stage-3 geometry (W=16, C=2048 — 'INVALID_ARGUMENT' on the reshape)
+    while the identical view on the pad-produced intermediate compiles at all
+    geometries; the pad copy is ~x-sized VMEM traffic, negligible."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return _stride2_tap(xp, 1, 1, G, Ho, Wo, C)
 
 
 def _interleave2(ee, eo, oe, oo, G, Hh, Wh, F):
     """Inverse of parity splitting: 4 grids (G, Hh, Wh, F) -> (G, 2Hh, 2Wh, F)
-    with out[2a+r, 2b+c] = grids[r][c][a, b]. stack+reshape only."""
-    row_e = jnp.stack([ee, eo], axis=3).reshape(G, Hh, 2 * Wh, F)
-    row_o = jnp.stack([oe, oo], axis=3).reshape(G, Hh, 2 * Wh, F)
-    return jnp.stack([row_e, row_o], axis=2).reshape(G, 2 * Hh, 2 * Wh, F)
+    with out[2a+r, 2b+c] = grids[r][c][a, b]. Column interleave is a lane
+    concat at the F boundary; row interleave stacks whole-row chunks."""
+    if 2 * F > _LANE_MERGE_MAX:
+        h = F // 2
+        return jnp.concatenate(
+            [
+                _interleave2(ee[..., :h], eo[..., :h], oe[..., :h], oo[..., :h], G, Hh, Wh, h),
+                _interleave2(ee[..., h:], eo[..., h:], oe[..., h:], oo[..., h:], G, Hh, Wh, h),
+            ],
+            axis=-1,
+        )
+    row_e = jnp.concatenate([ee, eo], axis=-1)  # (G, Hh, Wh, 2F)
+    row_o = jnp.concatenate([oe, oo], axis=-1)
+    rows = jnp.stack([row_e, row_o], axis=2)  # (G, Hh, 2, Wh, 2F)
+    return rows.reshape(G, 2 * Hh, 2 * Wh, F)
 
 
 def _scatter2(v, G, Ho, Wo, C):
