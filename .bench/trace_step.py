@@ -20,6 +20,7 @@ B = int(os.environ.get("BENCH_BATCH", 128))
 hw = (256, 256)
 blk = os.environ.get("BENCH_FUSE_BLOCK", "-")  # '-' off, 'all', or digits
 proj = os.environ.get("BENCH_FUSE_PROJ", "0") == "1"
+stem = os.environ.get("BENCH_FUSE_STEM", "0") == "1"
 stages = tuple(range(4)) if blk == "all" else tuple(int(c) for c in blk if c.isdigit())
 cfg = TrainConfig(
     model_config=NCameraCNNConfig(
@@ -29,6 +30,7 @@ cfg = TrainConfig(
         fuse_block="on" if blk != "-" else "off",
         fuse_block_stages=stages if blk != "-" else (0, 1),
         fuse_proj="on" if proj else "off",
+        fuse_stem="on" if stem else "off",
     ),
     use_augmentation=True, amp=True, wandb_log=False,
 )

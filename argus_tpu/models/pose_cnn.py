@@ -87,6 +87,9 @@ class NCameraCNNConfig:
     # proj_fused.py) — with fuse_block over all stages this leaves the stem as
     # the only XLA conv in the backbone. Same "auto"/"on"/"off" semantics.
     fuse_proj: str = "off"
+    # Fuse the stem as one Pallas kernel (ops/pallas/stem_fused.py): with
+    # fuse_block+fuse_proj on, ZERO XLA convs remain in the backbone.
+    fuse_stem: str = "off"
     # Rematerialize residual blocks in the backward pass (see models/resnet.py):
     # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
     # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.
@@ -132,6 +135,7 @@ class NCameraCNN(nn.Module):
             fuse_block=cfg.fuse_block,
             fuse_block_stages=cfg.fuse_block_stages,
             fuse_proj=cfg.fuse_proj,
+            fuse_stem=cfg.fuse_stem,
             remat=cfg.remat,
             remat_stages=cfg.remat_stages,
             name="backbone",

@@ -39,6 +39,27 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return x.reshape(n, h // block, w // block, block * block * c)
 
 
+def space_to_depth_conv(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """space_to_depth as a one-hot stride-b conv (same output, same channel order).
+
+    On TPU the reshape/transpose formulation is catastrophic for small C: the
+    rank-6 transpose with C=3 in the minor (lane) dim cost 9.0 ms + a 4.9 ms
+    layout copy at B=256 256x256 (trace outputs/traces/step_stem1) — 14 ms for
+    ~100 MB of data movement. The identical permutation expressed as a conv
+    with a one-hot (b, b, C, b*b*C) kernel rides the conv custom-call's
+    optimized tiling instead. 0/1 weights are exact in any float dtype."""
+    n, h, w, c = x.shape
+    eye = jnp.zeros((block, block, c, block * block * c), x.dtype)
+    sy, sx, ci = jnp.meshgrid(
+        jnp.arange(block), jnp.arange(block), jnp.arange(c), indexing="ij"
+    )
+    r = (sy * block + sx) * c + ci
+    eye = eye.at[sy, sx, ci, r].set(1)
+    return jax.lax.conv_general_dilated(
+        x, eye, (block, block), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
 def conv1_kernel_to_s2d(k7: Any) -> Any:
     """Rewrite a (7,7,Cin,Cout) stride-2 stem kernel into the equivalent
     (4,4,4*Cin,Cout) stride-1 kernel over 2x2 space-to-depth input.
@@ -105,6 +126,22 @@ class _Conv1x1Params(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (1, 1, in_features, self.features),
+            jnp.float32,
+        )
+
+
+class _Conv7x7Params(nn.Module):
+    """`nn.Conv`-layout parameter holder for the bias-free 7x7 stem conv
+    (fused-stem path; see _Conv1x1Params for the naming/RNG rationale)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, in_features, self.features),
             jnp.float32,
         )
 
@@ -378,6 +415,12 @@ class ResNet(nn.Module):
     # all stages this leaves the stem as the only XLA conv in the backbone
     # (ops/pallas/proj_fused.py). Same "on"/"auto"/"off" semantics.
     fuse_proj: str = "off"
+    # Fuse the STEM (conv7x7/s2 + frozen BN + relu + maxpool) as one Pallas
+    # kernel via a 4x4 space-to-depth matmul formulation with parity-packed
+    # outputs (ops/pallas/stem_fused.py) — zero XLA convs remain in the
+    # backbone. Requires bn_frozen + bn_frozen_affine and num_filters=64; the
+    # stem_space_to_depth option is mutually exclusive.
+    fuse_stem: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -397,17 +440,34 @@ class ResNet(nn.Module):
             frozen_affine=self.bn_frozen and self.bn_frozen_affine,
         )
 
+        fuse_stem_on = (
+            self.bn_frozen
+            and self.bn_frozen_affine
+            and self.num_filters == 64
+            and not self.stem_space_to_depth
+            and (
+                self.fuse_stem == "on"
+                or (self.fuse_stem == "auto" and jax.default_backend() == "tpu")
+            )
+        )
         x = x.astype(self.dtype)
-        if self.stem_space_to_depth:
+        if fuse_stem_on:
+            from argus_tpu.ops.pallas.stem_fused import fused_stem_pool
+
+            k7 = _Conv7x7Params(self.num_filters, name="conv_init")(x.shape[-1])
+            s0, b0, m0, v0 = _FrozenBNParams(name="norm_init")(self.num_filters)
+            x = fused_stem_pool(x, k7, s0, b0, m0, v0, eps=self.norm_eps)
+        elif self.stem_space_to_depth:
             x = space_to_depth(x, 2)
             x = conv(
                 self.num_filters, (4, 4), (1, 1), padding=((2, 1), (2, 1)), name="conv_init_s2d"
             )(x)
         else:
             x = conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)), name="conv_init")(x)
-        x = norm(name="norm_init")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if not fuse_stem_on:
+            x = norm(name="norm_init")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         fuse_pw = (
             self.block_cls is BottleneckBlock

@@ -1,0 +1,296 @@
+"""Fused Pallas STEM kernel: conv7x7/s2 + frozen-BN affine + relu + maxpool3x3/s2.
+
+The last XLA conv in the fused backbone chain. Measured cost of the XLA stem
+region in the otherwise-fused step: ~27 ms of 100 (17 ms of conv/pool fusions +
+10 ms of pure layout-copy passes at the conv custom-call boundaries,
+outputs/traces/step_fusev2) — for ~2% of the model FLOPs. This kernel removes
+the convs AND the boundary copies.
+
+TPU formulation (the 7x7-over-3-channels conv is MXU-hostile as-is: K = 3):
+
+  * The caller feeds a 4x4 space-to-depth view of the image: (N, 64, 64, 48).
+    A stride-2 7x7 conv becomes, for each output-pixel PARITY (p, q) of the
+    2x2 output pixels per s2d block, a 3x3 conv over s2d blocks — nine
+    (rows, 48) @ (48, 256) MXU matmuls where the 256 output channels pack
+    (parity_y, parity_x, c): K grows 3 -> 48 and COUT 64 -> 256.
+  * Weight packing (`pack_stem_weights`): zero-pad the 7x7 kernel to 8x8 with
+    the pad row/col FIRST (window offsets become [-4, 3], reproducing torch's
+    (3,3) padding exactly — same trick as models/resnet.py
+    conv1_kernel_to_s2d), then one advanced-indexing gather builds the
+    (9, 48, 256) packed weights. The gather is plain jnp, so autodiff maps the
+    kernel's dW straight back to the (7,7,3,64) conv_init parameter.
+  * The frozen-BN affine folds into the packed weights/bias (scale tiled over
+    the 4 parities).
+  * Maxpool 3x3/s2/pad-1 runs IN-KERNEL on the parity-packed conv output:
+    conv row 2u-1 is packed row (u-1, p=1), 2u is (u, 0), 2u+1 is (u, 1) — so
+    the pool is a 9-way elementwise max over shifted lane-slices. Zero padding
+    is exact here: relu output is >= 0, so pad cells never win a max that
+    -inf padding (torch semantics) would have lost.
+  * Backward: the image needs NO gradient (it is data), so the backward is
+    wgrad-only — recompute the packed activations in VMEM, route the pool
+    cotangent through first-match take-masks (select-and-scatter tie
+    semantics), mask by relu, and accumulate dW = tap^T @ dacc in f32 scratch
+    across the sequential grid.
+
+Reference being fused: the torchvision ResNet stem (argus/models.py:43
+backbone); flax path in models/resnet.py (conv_init + norm_init + relu +
+max_pool). Equivalence vs that path is pinned in tests/test_stem_fused.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from argus_tpu.ops.pallas.block_fused import _interp, _use_pallas
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+# s2d block offsets of the 3x3 block-conv (row-major)
+_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+# pool terms in XLA select-and-scatter tie order (window rows 2u-1, 2u, 2u+1):
+# (block shift dA, parity p) = (-1, 1), (0, 0), (0, 1); same for columns
+_POOL_TERMS = [(-1, 1), (0, 0), (0, 1)]
+
+
+def _pack_indices():
+    """Static numpy index arrays for the weight-packing gather.
+
+    W[t, r, o] = k8_guard[IY, IX, CI, CO] with t indexing _OFFS,
+    r = (sy*4 + sx)*3 + ci (space_to_depth channel order), o = (p*2 + q)*64 + c.
+    iy = 4*dy + sy - 2*p + 4 (out of [0,7] -> guard index 8, a zero row)."""
+    IY = np.zeros((9, 48, 256), np.int32)
+    IX = np.zeros((9, 48, 256), np.int32)
+    CI = np.zeros((9, 48, 256), np.int32)
+    CO = np.zeros((9, 48, 256), np.int32)
+    for t, (dy, dx) in enumerate(_OFFS):
+        for sy in range(4):
+            for sx in range(4):
+                for ci in range(3):
+                    r = (sy * 4 + sx) * 3 + ci
+                    for p in range(2):
+                        for q in range(2):
+                            iy = 4 * dy + sy - 2 * p + 4
+                            ix = 4 * dx + sx - 2 * q + 4
+                            iy = iy if 0 <= iy <= 7 else 8
+                            ix = ix if 0 <= ix <= 7 else 8
+                            o = slice((p * 2 + q) * 64, (p * 2 + q) * 64 + 64)
+                            IY[t, r, o] = iy
+                            IX[t, r, o] = ix
+                            CI[t, r, o] = ci
+                            CO[t, r, o] = np.arange(64)
+    return IY, IX, CI, CO
+
+
+_IY, _IX, _CI, _CO = _pack_indices()
+
+
+def pack_stem_weights(k7, scale, bias, mean, var, eps, dtype):
+    """(7,7,3,64) conv kernel + frozen-BN buffers -> packed (9,48,256) weights
+    (dtype) and (1,256) f32 bias. Differentiable w.r.t. k7."""
+    c = scale * jax.lax.rsqrt(var + eps)  # (64,)
+    beff = bias - mean * c
+    k8 = jnp.pad(k7.astype(jnp.float32), ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k8g = jnp.pad(k8, ((0, 1), (0, 1), (0, 0), (0, 0)))  # guard row/col 8 = zeros
+    W = k8g[_IY, _IX, _CI, _CO]  # (9, 48, 256)
+    c_packed = jnp.tile(c, 4)  # (256,) parity-major
+    W = (W * c_packed[None, None, :]).astype(dtype)
+    b_packed = jnp.tile(beff, 4)[None].astype(jnp.float32)  # (1, 256)
+    return W, b_packed
+
+
+def _conv_packed(x4p, w, G, HS, WS):
+    """x4p: (G, HS+2, WS+2, 48) zero-padded s2d input; w: (9, 48, 256).
+    Returns the parity-packed conv as f32 (G*HS*WS, 256)."""
+    R = G * HS * WS
+    acc = jnp.zeros((R, 256), jnp.float32)
+    for t, (dy, dx) in enumerate(_OFFS):
+        tap = x4p[:, 1 + dy : 1 + dy + HS, 1 + dx : 1 + dx + WS, :].reshape(R, 48)
+        acc = acc + jnp.dot(tap, w[t], preferred_element_type=jnp.float32)
+    return acc
+
+
+def _pool_terms(yg_p, HS, WS):
+    """yg_p: (G, HS+1, WS+1, 256) start-padded relu output. Yields the 9 pool
+    terms ((G, HS, WS, 64) slice, dA, p, dB, q) in tie order."""
+    for dA, p in _POOL_TERMS:
+        for dB, q in _POOL_TERMS:
+            o = (p * 2 + q) * 64
+            yield (
+                yg_p[:, 1 + dA : 1 + dA + HS, 1 + dB : 1 + dB + WS, o : o + 64],
+                dA, p, dB, q,
+            )
+
+
+def _forward_math(x4, w, b, G, HS, WS):
+    """Shared fwd math on a (G, HS, WS, 48) block: returns (pool, yg, x4p)."""
+    x4p = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = _conv_packed(x4p, w, G, HS, WS)
+    y = jnp.maximum(acc + b, 0.0).astype(x4.dtype)
+    yg = y.reshape(G, HS, WS, 256)
+    yg_p = jnp.pad(yg, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    pool = None
+    for term, *_ in _pool_terms(yg_p, HS, WS):
+        pool = term if pool is None else jnp.maximum(pool, term)
+    return pool, yg, x4p
+
+
+def _stem_fwd_kernel(x4_ref, w_ref, b_ref, out_ref, *, G, HS, WS):
+    pool, _, _ = _forward_math(x4_ref[...], w_ref[...], b_ref[...], G, HS, WS)
+    out_ref[...] = pool
+
+
+def _stem_bwd_kernel(x4_ref, g_ref, w_ref, b_ref, dw_ref, a_ref, *, G, HS, WS):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+
+    pool, yg, x4p = _forward_math(x4_ref[...], w_ref[...], b_ref[...], G, HS, WS)
+    yg_p = jnp.pad(yg, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    g = g_ref[...].astype(jnp.float32)  # (G, HS, WS, 64)
+    pool_f = pool.astype(jnp.float32)
+
+    # pool backward: first-match take masks, scattered into parity slices
+    taken = jnp.zeros((G, HS, WS, 64), jnp.float32)
+    dsl = {(p, q): jnp.zeros((G, HS, WS, 64), jnp.float32) for p in (0, 1) for q in (0, 1)}
+    for term, dA, p, dB, q in _pool_terms(yg_p, HS, WS):
+        take = (term.astype(jnp.float32) == pool_f).astype(jnp.float32) * (1.0 - taken)
+        taken = taken + take
+        contrib = g * take
+        # packed coords [A, B] = [u + dA, v + dB]; dA, dB in {-1, 0} -> shift
+        # by (-dA, -dB), zero-filling the far edge (A = -1 hits the pool pad)
+        if dA == -1:
+            contrib = jnp.pad(contrib[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        if dB == -1:
+            contrib = jnp.pad(contrib[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        dsl[(p, q)] = dsl[(p, q)] + contrib
+
+    R = G * HS * WS
+    dpacked = jnp.concatenate(
+        [dsl[(0, 0)], dsl[(0, 1)], dsl[(1, 0)], dsl[(1, 1)]], axis=-1
+    ).reshape(R, 256)  # o = (p*2+q)*64 + c ordering
+    # relu mask (f32 compare; pre > 0 <=> relu output > 0)
+    mask = (yg.reshape(R, 256).astype(jnp.float32) > 0.0).astype(jnp.float32)
+    dacc = (dpacked * mask).astype(x4_ref.dtype)
+    for t, (dy, dx) in enumerate(_OFFS):
+        tap = x4p[:, 1 + dy : 1 + dy + HS, 1 + dx : 1 + dx + WS, :].reshape(R, 48)
+        a_ref[t] += jax.lax.dot_general(
+            tap, dacc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[...] = a_ref[...]
+
+
+def _stem_fwd_pallas(x4, w, b, interpret: bool, G: int = 1):
+    N, HS, WS, _ = x4.shape
+    kernel = functools.partial(_stem_fwd_kernel, G=G, HS=HS, WS=WS)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, HS, WS, 64), x4.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x4, w, b)
+
+
+def _stem_bwd_pallas(x4, g, w, b, interpret: bool, G: int = 1):
+    N, HS, WS, _ = x4.shape
+    kernel = functools.partial(_stem_bwd_kernel, G=G, HS=HS, WS=WS)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((9, 48, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((9, 48, 256), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x4, g, w, b)
+
+
+# ─────────────────────────── XLA fallback (reference math) ───────────────────────────
+
+
+def _xla_stem_pool(x4, w, b):
+    """Same math in plain jnp at full batch (CPU path / autodiff reference)."""
+    N, HS, WS, _ = x4.shape
+    pool, _, _ = _forward_math(x4, w, b, N, HS, WS)
+    return pool
+
+
+# ─────────────────────────── public op (custom VJP) ───────────────────────────
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _stem_pool(x4, w, b, impl, interpret, gsz=1):
+    if _use_pallas(impl):
+        return _stem_fwd_pallas(x4, w, b, _interp(interpret), gsz)
+    return _xla_stem_pool(x4, w, b)
+
+
+def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1):
+    return _stem_pool(x4, w, b, impl, interpret, gsz), (x4, w, b)
+
+
+def _stem_pool_bwd(impl, interpret, gsz, resids, g):
+    x4, w, b = resids
+    if _use_pallas(impl):
+        dw = _stem_bwd_pallas(x4, g, w, b, _interp(interpret), gsz)
+    else:
+        # autodiff of the fallback, discarding the (unneeded) image gradient
+        _, vjp = jax.vjp(lambda wv: _xla_stem_pool(x4, wv, b), w)
+        (dw,) = vjp(g)
+    # the image is data (no gradient consumer); the bias is a frozen buffer
+    return jnp.zeros_like(x4), dw.astype(w.dtype), jnp.zeros_like(b)
+
+
+_stem_pool.defvjp(_stem_pool_fwd, _stem_pool_bwd)
+
+
+def fused_stem_pool(
+    x: jnp.ndarray,
+    k7: jnp.ndarray,  # (7, 7, 3, 64) conv_init kernel
+    scale, bias, mean, var,  # frozen norm_init buffers, each (64,)
+    *,
+    eps: float = 1e-5,
+    impl: str = "auto",
+    interpret: Optional[bool] = None,
+    gsz: int = 1,
+) -> jnp.ndarray:
+    """Full fused stem: NHWC image (N, H, W, 3) -> (N, H/4, W/4, 64).
+
+    Space-to-depth happens here in XLA. On TPU it rides a one-hot stride-4
+    conv (space_to_depth_conv): the reshape/transpose formulation with C=3 in
+    the lane dim measured 14 ms at flagship shapes vs <1 ms for the conv form
+    (trace outputs/traces/step_stem1)."""
+    from argus_tpu.models.resnet import space_to_depth, space_to_depth_conv
+
+    n, h, w_, c = x.shape
+    assert h % 8 == 0 and w_ % 8 == 0 and c == 3 and k7.shape == (7, 7, 3, 64), (
+        x.shape, k7.shape,
+    )
+    s2d = space_to_depth_conv if jax.default_backend() == "tpu" else space_to_depth
+    x4 = s2d(x, 4)  # (N, H/4, W/4, 48)
+    W, b = pack_stem_weights(k7, scale, bias, mean, var, eps, x.dtype)
+    return _stem_pool(x4, W, b, impl, interpret, gsz)

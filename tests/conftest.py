@@ -15,7 +15,18 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ.setdefault("MUJOCO_GL", "egl")  # headless offscreen rendering
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    _flags += " --xla_force_host_platform_device_count=8"
+# On this 1-core box the 8 virtual-device threads run their shards SERIALLY, so
+# the first thread at an all-reduce legitimately waits ~7x the per-shard time;
+# under load XLA's default CPU rendezvous terminate timeout SIGABRTs pytest
+# mid-suite (observed in test_parallel under concurrent TPU benches). A slow
+# join here is expected scheduling, not a deadlock — raise both knobs.
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 # The harness sitecustomize imports jax at interpreter start, so the env vars above
 # can be too late — force the platform through the live config as well (backends
