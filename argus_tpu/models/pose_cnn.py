@@ -80,16 +80,18 @@ class NCameraCNNConfig:
     fuse_pointwise: str = "off"
     # Whole-block fused Pallas kernels for stride-1 identity bottleneck blocks
     # ("auto"|"on"|"off"; requires bn_frozen+bn_frozen_affine —
-    # ops/pallas/block_fused.py; measured 1.28x vs XLA per block fwd+bwd).
-    fuse_block: str = "off"
-    fuse_block_stages: tuple = (0, 1)
+    # ops/pallas/block_fused.py; beats XLA fwd+bwd at every stage geometry with
+    # multi-image grids). Default "auto" (= on under TPU), all stages.
+    fuse_block: str = "auto"
+    fuse_block_stages: tuple = (0, 1, 2, 3)
     # Fuse projection (stage-entry / strided) blocks too (ops/pallas/
     # proj_fused.py) — with fuse_block over all stages this leaves the stem as
     # the only XLA conv in the backbone. Same "auto"/"on"/"off" semantics.
-    fuse_proj: str = "off"
+    fuse_proj: str = "auto"
     # Fuse the stem as one Pallas kernel (ops/pallas/stem_fused.py): with
-    # fuse_block+fuse_proj on, ZERO XLA convs remain in the backbone.
-    fuse_stem: str = "off"
+    # fuse_block+fuse_proj on, ZERO XLA convs remain in the backbone (the
+    # fused flagship: 90.6 ms/step vs 103.3 unfused, docs/ROUND3_NOTES.md).
+    fuse_stem: str = "auto"
     # Rematerialize residual blocks in the backward pass (see models/resnet.py):
     # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
     # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.

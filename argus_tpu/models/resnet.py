@@ -405,22 +405,24 @@ class ResNet(nn.Module):
     fuse_pointwise: str = "off"
     # Whole-block fused Pallas kernels for stride-1 identity bottleneck blocks
     # (requires bn_frozen + bn_frozen_affine; ops/pallas/block_fused.py).
-    # Measured 1.28x vs XLA fwd+bwd per block at stage-0 geometry. Restricted to
-    # `fuse_block_stages`: deep stages have too few rows per image for the
-    # per-image MXU grid (8x8 = 64 rows) and each fused chain pays XLA-boundary
-    # layout copies — all-stage fusion measured SLOWER end-to-end (106.1 ms).
-    fuse_block: str = "off"
-    fuse_block_stages: Sequence[int] = (0, 1)
+    # Every geometry beats XLA fwd+bwd in isolation once deep stages run
+    # multi-image grids (G images per grid step; docs/ROUND3_NOTES.md), so the
+    # default is "auto" (= on under TPU) over ALL stages. The round-2 (0,1)
+    # restriction predated the grids.
+    fuse_block: str = "auto"
+    fuse_block_stages: Sequence[int] = (0, 1, 2, 3)
     # Fuse PROJECTION (stage-entry / strided) blocks too — with fuse_block over
     # all stages this leaves the stem as the only XLA conv in the backbone
     # (ops/pallas/proj_fused.py). Same "on"/"auto"/"off" semantics.
-    fuse_proj: str = "off"
+    fuse_proj: str = "auto"
     # Fuse the STEM (conv7x7/s2 + frozen BN + relu + maxpool) as one Pallas
     # kernel via a 4x4 space-to-depth matmul formulation with parity-packed
     # outputs (ops/pallas/stem_fused.py) — zero XLA convs remain in the
     # backbone. Requires bn_frozen + bn_frozen_affine and num_filters=64; the
-    # stem_space_to_depth option is mutually exclusive.
-    fuse_stem: str = "off"
+    # stem_space_to_depth option is mutually exclusive. In-step WIN: the stem
+    # region fell 27 -> ~14 ms/step with the one-hot-conv s2d feed
+    # (docs/ROUND3_NOTES.md) — default "auto" (= on under TPU).
+    fuse_stem: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -445,6 +447,11 @@ class ResNet(nn.Module):
             and self.bn_frozen_affine
             and self.num_filters == 64
             and not self.stem_space_to_depth
+            # the s2d(4) + in-kernel pool formulation needs H, W % 8 == 0;
+            # anything else falls back to the XLA stem instead of asserting
+            and x.shape[1] % 8 == 0
+            and x.shape[2] % 8 == 0
+            and x.shape[3] == 3
             and (
                 self.fuse_stem == "on"
                 or (self.fuse_stem == "auto" and jax.default_backend() == "tpu")

@@ -1,0 +1,541 @@
+"""Whole-STAGE fused Pallas kernels: a projection block + K identity blocks
+chained inside ONE kernel each way.
+
+With per-block kernels (block_fused.py / proj_fused.py) every inter-block
+boundary costs four stage-sized HBM passes that pure chaining removes:
+
+  * forward: block j+1 re-READS block j's output (its input) from HBM;
+  * backward: block j+1's dx is WRITTEN to HBM and re-READ by block j, and
+    the boundary activation is read twice (as block j's `out` for the relu
+    mask and as block j+1's `x`).
+
+Chained, the running activation and the running cotangent stay in VMEM across
+blocks; only what the backward genuinely needs from the forward is written
+(each block's output — doubling as the next block's input — and the h1/h2
+saved residuals, exactly as the per-block kernels already save). At flagship
+shapes (B=256 images) the removed boundary traffic is ~2 GB/step for stage 0
+alone (2 boundaries x 4 passes x 2 MB x 256 images).
+
+Weight-gradient accumulators for ALL chained blocks live in f32 VMEM scratch
+across the sequential image grid, which bounds chain length by VMEM: stages
+0-2 fit whole; stage 3's accumulators alone are ~60 MB so it stays on the
+per-block kernels (the boundary activations there are 8x8x2048 = 0.25 MB —
+the chain would save <1 ms).
+
+The block math is identical (same op order, same dtypes, dx cast to the
+compute dtype at each boundary) to the per-block kernels, so the chain is
+value- and gradient-exact against the composed per-block path; pinned in
+tests/test_stage_fused.py. Frozen-affine only, like the per-block kernels.
+
+Reference architecture: the torchvision ResNet-50 stage layout the reference
+model fine-tunes (argus/models.py:43).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from argus_tpu.ops.pallas.block_fused import (
+    _conv3x3_shifted,
+    _interp,
+    _relu_mask_mul,
+    _use_pallas,
+)
+from argus_tpu.ops.pallas.proj_fused import (
+    _dh1_scatter,
+    _proj_fwd_core,
+    _scatter2,
+    _subsample2,
+    _taps,
+)
+
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+# ─────────────────────────── block math cores ───────────────────────────
+# Array-level (not ref-level) forward/backward math, shared by the chain
+# kernels below. Same operations in the same order as the per-block kernels
+# (block_fused._fwd_save_kernel / _bwd_saved_kernel, proj_fused counterparts).
+
+
+def _id_fwd_core(x4, w1, b1, w2, b2, w3, b3, G, H, W, CIN, F):
+    """Identity bottleneck forward on a (G, H, W, CIN) array; returns
+    (out(G,H,W,CIN), h1 2D, h2 2D)."""
+    x = x4.reshape(G * H * W, CIN)
+    h1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1.astype(jnp.float32), 0.0).astype(x.dtype)
+    h2, _ = _conv3x3_shifted(h1, w2, G, H, W, F)
+    h2 = jnp.maximum(h2 + b2.astype(jnp.float32), 0.0).astype(x.dtype)
+    y = jnp.dot(h2, w3, preferred_element_type=jnp.float32)
+    y = y + b3.astype(jnp.float32) + x.astype(jnp.float32)
+    out = jnp.maximum(y, 0.0).astype(x.dtype).reshape(G, H, W, CIN)
+    return out, h1, h2
+
+
+def _id_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, G, H, W, CIN, F):
+    """Identity bottleneck backward; returns (dx(G,H,W,CIN) f32, dw1, dw2, dw3)."""
+    dt = x4.dtype
+    R = G * H * W
+    x = x4.reshape(R, CIN)
+    h1 = h1_2d.reshape(R, F)
+    h2 = h2_2d.reshape(R, F)
+    g = g4.reshape(R, CIN)
+    m3 = _relu_mask_mul(g, out4.reshape(R, CIN))
+    dh2 = jax.lax.dot_general(
+        m3, w3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw3 = jax.lax.dot_general(
+        h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m2 = _relu_mask_mul(dh2.astype(dt), h2)
+    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((R, F), jnp.float32)
+    dw2 = []
+    for ky in range(3):
+        row = []
+        for kx in range(3):
+            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
+            row.append(
+                jax.lax.dot_general(
+                    h1_shift, m2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
+            dh1 = dh1 + jax.lax.dot_general(
+                m2_shift, w2[ky, kx], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dw2.append(row)
+    m1 = _relu_mask_mul(dh1.astype(dt), h1)
+    dx = jax.lax.dot_general(
+        m1, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw1 = jax.lax.dot_general(
+        x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx = (dx + m3.astype(jnp.float32)).reshape(G, H, W, CIN)
+    dw2 = jnp.stack([jnp.stack(row) for row in dw2])  # (3, 3, F, F)
+    return dx, dw1, dw2, dw3
+
+
+def _proj_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, wsc, G, H, W, CIN, F, COUT, S):
+    """Projection bottleneck backward; returns (dx(G,H,W,CIN) f32, dw1, dw2,
+    dw3, dwsc)."""
+    dt = x4.dtype
+    Ho, Wo = H // S, W // S
+    R, Ro = G * H * W, G * Ho * Wo
+    x = x4.reshape(R, CIN)
+    h1 = h1_2d.reshape(R, F)
+    h2 = h2_2d.reshape(Ro, F)
+    gc = g4.reshape(Ro, COUT)
+    m3 = _relu_mask_mul(gc, out4.reshape(Ro, COUT))
+    dh2 = jax.lax.dot_general(
+        m3, w3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw3 = jax.lax.dot_general(
+        h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    xs = x if S == 1 else _subsample2(x4, G, Ho, Wo, CIN)
+    dwsc = jax.lax.dot_general(
+        xs, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dxs = jax.lax.dot_general(
+        m3, wsc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m2 = _relu_mask_mul(dh2.astype(dt), h2)
+    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    C = [[None] * 3 for _ in range(3)]
+    dw2 = []
+    for ky in range(3):
+        row = []
+        for kx in range(3):
+            sh = _taps(padded, ky, kx, G, H, W, Ho, Wo, F, S)
+            row.append(
+                jax.lax.dot_general(
+                    sh, m2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            C[ky][kx] = jax.lax.dot_general(
+                m2, w2[ky, kx], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(G, Ho, Wo, F)
+        dw2.append(row)
+    dh1 = _dh1_scatter(C, G, Ho, Wo, F, S, H, W)
+    m1 = _relu_mask_mul(dh1.astype(dt), h1)
+    dx = jax.lax.dot_general(
+        m1, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw1 = jax.lax.dot_general(
+        x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if S == 1:
+        dx = (dx + dxs).reshape(G, H, W, CIN)
+    else:
+        dx = dx.reshape(G, H, W, CIN) + _scatter2(dxs, G, Ho, Wo, CIN)
+    dw2 = jnp.stack([jnp.stack(row) for row in dw2])
+    return dx, dw1, dw2, dw3, dwsc
+
+
+# ─────────────────────────── chain kernels ───────────────────────────
+#
+# A chain = [proj?] + K identity blocks at one stage geometry. Operand layout
+# (all built programmatically):
+#   fwd inputs : x, [proj w1,b1,w2,b2,w3,b3,wsc,bsc], (w1,b1,w2,b2,w3,b3)*K
+#   fwd outputs: out, bnd_0..bnd_{B-2}, (h1_b, h2_b)*B          (B = #blocks)
+#   bwd inputs : x, g, out, bnd_*, (h1_b, h2_b)*B, [proj w1,w2,w3,wsc], (w1,w2,w3)*K
+#   bwd outputs: dx, [proj dw1,dw2,dw3,dwsc], (dw1,dw2,dw3)*K
+# bnd_b is block b's output = block b+1's input; `out` is the last block's.
+
+
+def _chain_geometry(has_proj, H, W, CIN, F, COUT, S):
+    """Returns (Ho, Wo): the chain-output spatial dims."""
+    if has_proj:
+        return H // S, W // S
+    return H, W
+
+
+def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
+    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    nblocks = (1 if has_proj else 0) + K
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        pw = [next(it) for _ in range(8)] if has_proj else None
+        idw = [[next(it) for _ in range(6)] for _ in range(K)]
+        out_ref = next(it)
+        bnd_refs = [next(it) for _ in range(nblocks - 1)] if save else []
+        h_refs = [(next(it), next(it)) for _ in range(nblocks)] if save else []
+
+        b = 0
+        if has_proj:
+            out2d, h1, h2 = _proj_fwd_core(
+                x_ref, *pw, G=G, H=H, W=W, CIN=CIN, F=F, COUT=COUT, S=S
+            )
+            cur = out2d.reshape(G, Ho, Wo, COUT)
+            if save:
+                h_refs[0][0][...] = h1.reshape(G, H, W, F)
+                h_refs[0][1][...] = h2.reshape(G, Ho, Wo, F)
+                if nblocks > 1:
+                    bnd_refs[0][...] = cur
+            b = 1
+        else:
+            cur = x_ref[...]
+        for j in range(K):
+            cur, h1, h2 = _id_fwd_core(
+                cur, idw[j][0][...], idw[j][1][...], idw[j][2], idw[j][3][...],
+                idw[j][4][...], idw[j][5][...], G, Ho, Wo, COUT, F,
+            )
+            if save:
+                h_refs[b][0][...] = h1.reshape(G, Ho, Wo, F)
+                h_refs[b][1][...] = h2.reshape(G, Ho, Wo, F)
+                if b < nblocks - 1:
+                    bnd_refs[b][...] = cur
+            b += 1
+        out_ref[...] = cur
+
+    return kernel
+
+
+def _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S):
+    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    nblocks = (1 if has_proj else 0) + K
+    n_dw = (4 if has_proj else 0) + 3 * K
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        g_ref = next(it)
+        out_ref = next(it)
+        bnd_refs = [next(it) for _ in range(nblocks - 1)]
+        h_refs = [(next(it), next(it)) for _ in range(nblocks)]
+        pw = [next(it) for _ in range(4)] if has_proj else None
+        idw = [[next(it) for _ in range(3)] for _ in range(K)]
+        dx_ref = next(it)
+        dw_refs = [next(it) for _ in range(n_dw)]
+        a_refs = [next(it) for _ in range(n_dw)]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for a in a_refs:
+                a[:] = jnp.zeros_like(a)
+
+        dt = x_ref.dtype
+        g = g_ref[...]
+        # identity blocks, last to first
+        for j in reversed(range(K)):
+            b = j + (1 if has_proj else 0)
+            out_b = out_ref[...] if b == nblocks - 1 else bnd_refs[b][...]
+            x_b = x_ref[...] if b == 0 else bnd_refs[b - 1][...]
+            dx, dw1, dw2, dw3 = _id_bwd_core(
+                x_b, g, out_b, h_refs[b][0][...], h_refs[b][1][...],
+                idw[j][0][...], idw[j][1], idw[j][2][...], G, Ho, Wo, COUT, F,
+            )
+            base = (4 if has_proj else 0) + 3 * j
+            a_refs[base][:] += dw1
+            a_refs[base + 1][:] += dw2
+            a_refs[base + 2][:] += dw3
+            g = dx.astype(dt)  # match the per-block composition's dtype flow
+        if has_proj:
+            out_b = out_ref[...] if nblocks == 1 else bnd_refs[0][...]
+            dx, dw1, dw2, dw3, dwsc = _proj_bwd_core(
+                x_ref[...], g, out_b, h_refs[0][0][...], h_refs[0][1][...],
+                pw[0][...], pw[1], pw[2][...], pw[3][...],
+                G, H, W, CIN, F, COUT, S,
+            )
+            a_refs[0][:] += dw1
+            a_refs[1][:] += dw2
+            a_refs[2][:] += dw3
+            a_refs[3][:] += dwsc
+            g = dx.astype(dt)
+        dx_ref[...] = g
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            for dw_ref, a in zip(dw_refs, a_refs):
+                dw_ref[...] = a[...]
+
+    return kernel
+
+
+def _img_spec(G, H, W, C):
+    return pl.BlockSpec((G, H, W, C), lambda i: (i, 0, 0, 0))
+
+
+def _w_spec(shape):
+    nd = len(shape)
+    if nd == 2:
+        return pl.BlockSpec(shape, lambda i: (0, 0))
+    return pl.BlockSpec(shape, lambda i: (0, 0, 0, 0))
+
+
+def _proj_w_shapes(CIN, F, COUT):
+    return [(CIN, F), (1, F), (3, 3, F, F), (1, F), (F, COUT), (1, COUT), (CIN, COUT), (1, COUT)]
+
+
+def _id_w_shapes(C, F):
+    return [(C, F), (1, F), (3, 3, F, F), (1, F), (F, C), (1, C)]
+
+
+def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
+    N, H, W, CIN = x.shape
+    has_proj = pw is not None
+    K = len(idws)
+    F = (pw[0] if has_proj else idws[0][0]).shape[1]
+    COUT = pw[4].shape[1] if has_proj else CIN
+    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    nblocks = (1 if has_proj else 0) + K
+    dt = x.dtype
+
+    in_specs = [_img_spec(G, H, W, CIN)]
+    operands = [x]
+    if has_proj:
+        in_specs += [_w_spec(s) for s in _proj_w_shapes(CIN, F, COUT)]
+        operands += list(pw)
+    for idw in idws:
+        in_specs += [_w_spec(s) for s in _id_w_shapes(COUT, F)]
+        operands += list(idw)
+
+    out_specs = [_img_spec(G, Ho, Wo, COUT)]
+    out_shape = [jax.ShapeDtypeStruct((N, Ho, Wo, COUT), dt)]
+    if save:
+        for _ in range(nblocks - 1):
+            out_specs.append(_img_spec(G, Ho, Wo, COUT))
+            out_shape.append(jax.ShapeDtypeStruct((N, Ho, Wo, COUT), dt))
+        for b in range(nblocks):
+            h1_hw = (H, W) if (has_proj and b == 0) else (Ho, Wo)
+            out_specs += [_img_spec(G, *h1_hw, F), _img_spec(G, Ho, Wo, F)]
+            out_shape += [
+                jax.ShapeDtypeStruct((N, *h1_hw, F), dt),
+                jax.ShapeDtypeStruct((N, Ho, Wo, F), dt),
+            ]
+
+    kernel = _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    return outs if save else outs[0]
+
+
+def _chain_bwd_pallas(x, g, out, bnds, h1s, h2s, pw, idws, S, interpret, G):
+    N, H, W, CIN = x.shape
+    has_proj = pw is not None
+    K = len(idws)
+    F = (pw[0] if has_proj else idws[0][0]).shape[1]
+    COUT = pw[2].shape[1] if has_proj else CIN
+    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    nblocks = (1 if has_proj else 0) + K
+    dt = x.dtype
+
+    in_specs = [
+        _img_spec(G, H, W, CIN),
+        _img_spec(G, Ho, Wo, COUT),
+        _img_spec(G, Ho, Wo, COUT),
+    ]
+    operands = [x, g, out]
+    for b in bnds:
+        in_specs.append(_img_spec(G, Ho, Wo, COUT))
+        operands.append(b)
+    for b in range(nblocks):
+        h1_hw = (H, W) if (has_proj and b == 0) else (Ho, Wo)
+        in_specs += [_img_spec(G, *h1_hw, F), _img_spec(G, Ho, Wo, F)]
+        operands += [h1s[b], h2s[b]]
+    dw_shapes = []
+    if has_proj:
+        shapes = [(CIN, F), (3, 3, F, F), (F, COUT), (CIN, COUT)]
+        in_specs += [_w_spec(s) for s in shapes]
+        operands += list(pw)
+        dw_shapes += shapes
+    for idw in idws:
+        shapes = [(COUT, F), (3, 3, F, F), (F, COUT)]
+        in_specs += [_w_spec(s) for s in shapes]
+        operands += list(idw)
+        dw_shapes += shapes
+
+    out_specs = [_img_spec(G, H, W, CIN)] + [_w_spec(s) for s in dw_shapes]
+    out_shape = [jax.ShapeDtypeStruct((N, H, W, CIN), dt)] + [
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in dw_shapes
+    ]
+    scratch = [pltpu.VMEM(s, jnp.float32) for s in dw_shapes]
+
+    kernel = _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
+# ─────────────────────────── XLA fallback (reference math) ───────────────────────────
+
+
+def _xla_id_forward(x, w1, b1, w2, b2, w3, b3):
+    N, H, W, CIN = x.shape
+    F = w1.shape[1]
+    h1 = jnp.maximum(
+        jnp.einsum("nhwc,cf->nhwf", x, w1, preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32),
+        0.0,
+    ).astype(x.dtype)
+    h2 = jax.lax.conv_general_dilated(
+        h1, w2, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    h2 = jnp.maximum(h2.astype(jnp.float32) + b2.astype(jnp.float32), 0.0).astype(x.dtype)
+    y = jnp.einsum("nhwf,fc->nhwc", h2, w3, preferred_element_type=jnp.float32)
+    return jnp.maximum(y + b3.astype(jnp.float32) + x.astype(jnp.float32), 0.0).astype(x.dtype)
+
+
+def _xla_chain(x, pw, idws, S):
+    from argus_tpu.ops.pallas.proj_fused import _xla_forward
+
+    cur = x
+    if pw is not None:
+        cur = _xla_forward(cur, *pw, S)
+    for idw in idws:
+        cur = _xla_id_forward(cur, *idw)
+    return cur
+
+
+# ─────────────────────────── public op (custom VJP) ───────────────────────────
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _stage_chain(x, pw, idws, S, impl, interpret, gsz):
+    if _use_pallas(impl):
+        return _chain_fwd_pallas(x, pw, idws, S, _interp(interpret), gsz, save=False)
+    return _xla_chain(x, pw, idws, S)
+
+
+def _stage_chain_fwd(x, pw, idws, S, impl, interpret, gsz):
+    if _use_pallas(impl):
+        nblocks = (1 if pw is not None else 0) + len(idws)
+        outs = _chain_fwd_pallas(x, pw, idws, S, _interp(interpret), gsz, save=True)
+        out = outs[0]
+        bnds = tuple(outs[1:nblocks])
+        hs = outs[nblocks:]
+        h1s = tuple(hs[0::2])
+        h2s = tuple(hs[1::2])
+        return out, (x, pw, idws, out, bnds, h1s, h2s)
+    out = _xla_chain(x, pw, idws, S)
+    return out, (x, pw, idws, None, None, None, None)
+
+
+def _stage_chain_bwd(S, impl, interpret, gsz, resids, g):
+    x, pw, idws, out, bnds, h1s, h2s = resids
+    has_proj = pw is not None
+    if _use_pallas(impl):
+        grads = _chain_bwd_pallas(
+            x, g, out, list(bnds), list(h1s), list(h2s),
+            (pw[0], pw[2], pw[4], pw[6]) if has_proj else None,
+            [(w[0], w[2], w[4]) for w in idws],
+            S, _interp(interpret), gsz,
+        )
+        dx = grads[0]
+        dws = list(grads[1:])
+    else:
+        def f(xv, pwv, idwsv):
+            return _xla_chain(xv, pwv, idwsv, S)
+
+        _, vjp = jax.vjp(f, x, pw, idws)
+        dx_f, dpw_f, didws_f = vjp(g)
+        return dx_f, dpw_f, didws_f
+    dt_w = (pw[0] if has_proj else idws[0][0]).dtype
+    if has_proj:
+        dw1, dw2, dw3, dwsc = dws[:4]
+        dpw = (
+            dw1.astype(dt_w), jnp.zeros_like(pw[1]), dw2.astype(dt_w),
+            jnp.zeros_like(pw[3]), dw3.astype(dt_w), jnp.zeros_like(pw[5]),
+            dwsc.astype(dt_w), jnp.zeros_like(pw[7]),
+        )
+        dws = dws[4:]
+    else:
+        dpw = None
+    didws = tuple(
+        (
+            dws[3 * j].astype(dt_w), jnp.zeros_like(idws[j][1]),
+            dws[3 * j + 1].astype(dt_w), jnp.zeros_like(idws[j][3]),
+            dws[3 * j + 2].astype(dt_w), jnp.zeros_like(idws[j][5]),
+        )
+        for j in range(len(idws))
+    )
+    return dx, dpw, didws
+
+
+_stage_chain.defvjp(_stage_chain_fwd, _stage_chain_bwd)
+
+
+def fused_stage(
+    x: jnp.ndarray,
+    proj_folded: Optional[Tuple],  # (w1,b1,w2,b2,w3,b3,wsc,bsc) or None
+    id_folded: Sequence[Tuple],  # [(w1,b1,w2,b2,w3,b3), ...]
+    *,
+    stride: int = 2,
+    impl: str = "auto",
+    interpret: Optional[bool] = None,
+    g: int = 1,
+) -> jnp.ndarray:
+    """Run a whole ResNet stage (projection entry + identity blocks) as ONE
+    fused Pallas kernel each way. Weights are the FOLDED effective weights
+    (frozen BN affines already folded in — block_fused.fold_* helpers)."""
+    return _stage_chain(x, proj_folded, tuple(id_folded), stride, impl, interpret, g)

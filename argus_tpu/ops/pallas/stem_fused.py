@@ -59,46 +59,32 @@ _OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (
 _POOL_TERMS = [(-1, 1), (0, 0), (0, 1)]
 
 
-def _pack_indices():
-    """Static numpy index arrays for the weight-packing gather.
-
-    W[t, r, o] = k8_guard[IY, IX, CI, CO] with t indexing _OFFS,
-    r = (sy*4 + sx)*3 + ci (space_to_depth channel order), o = (p*2 + q)*64 + c.
-    iy = 4*dy + sy - 2*p + 4 (out of [0,7] -> guard index 8, a zero row)."""
-    IY = np.zeros((9, 48, 256), np.int32)
-    IX = np.zeros((9, 48, 256), np.int32)
-    CI = np.zeros((9, 48, 256), np.int32)
-    CO = np.zeros((9, 48, 256), np.int32)
-    for t, (dy, dx) in enumerate(_OFFS):
-        for sy in range(4):
-            for sx in range(4):
-                for ci in range(3):
-                    r = (sy * 4 + sx) * 3 + ci
-                    for p in range(2):
-                        for q in range(2):
-                            iy = 4 * dy + sy - 2 * p + 4
-                            ix = 4 * dx + sx - 2 * q + 4
-                            iy = iy if 0 <= iy <= 7 else 8
-                            ix = ix if 0 <= ix <= 7 else 8
-                            o = slice((p * 2 + q) * 64, (p * 2 + q) * 64 + 64)
-                            IY[t, r, o] = iy
-                            IX[t, r, o] = ix
-                            CI[t, r, o] = ci
-                            CO[t, r, o] = np.arange(64)
-    return IY, IX, CI, CO
-
-
-_IY, _IX, _CI, _CO = _pack_indices()
-
-
 def pack_stem_weights(k7, scale, bias, mean, var, eps, dtype):
     """(7,7,3,64) conv kernel + frozen-BN buffers -> packed (9,48,256) weights
-    (dtype) and (1,256) f32 bias. Differentiable w.r.t. k7."""
+    (dtype) and (1,256) f32 bias. Differentiable w.r.t. k7.
+
+    W[t, r, o] = K[4*dy + sy - 2*p + 8, 4*dx + sx - 2*q + 8, ci, c] with t
+    indexing _OFFS, r = (sy*4 + sx)*3 + ci (space_to_depth channel order),
+    o = (p*2 + q)*64 + c, and K the 7x7 kernel zero-padded pad-row-FIRST to
+    8x8 (window offsets [-4, 3] = torch (3,3) padding) then by 4 on every
+    side (out-of-window taps land in the zero margin). Built from 36 STATIC
+    4x4 slices + concats — an advanced-indexing gather here measured
+    1.40 ms/step inside the train program (tiny-table gathers are ~1000x
+    slower than layout ops on TPU; trace outputs/traces/step_stem2)."""
     c = scale * jax.lax.rsqrt(var + eps)  # (64,)
     beff = bias - mean * c
     k8 = jnp.pad(k7.astype(jnp.float32), ((1, 0), (1, 0), (0, 0), (0, 0)))
-    k8g = jnp.pad(k8, ((0, 1), (0, 1), (0, 0), (0, 0)))  # guard row/col 8 = zeros
-    W = k8g[_IY, _IX, _CI, _CO]  # (9, 48, 256)
+    K = jnp.pad(k8, ((4, 4), (4, 4), (0, 0), (0, 0)))  # (16, 16, 3, 64)
+    rows = []
+    for dy, dx in _OFFS:
+        parity_blocks = []
+        for p in (0, 1):
+            for q in (0, 1):
+                s, u = 4 * dy - 2 * p + 8, 4 * dx - 2 * q + 8
+                blk = K[s : s + 4, u : u + 4]  # (4, 4, 3, 64): (sy, sx, ci, c)
+                parity_blocks.append(blk.reshape(48, 64))
+        rows.append(jnp.concatenate(parity_blocks, axis=-1))  # (48, 256)
+    W = jnp.stack(rows)  # (9, 48, 256)
     c_packed = jnp.tile(c, 4)  # (256,) parity-major
     W = (W * c_packed[None, None, :]).astype(dtype)
     b_packed = jnp.tile(beff, 4)[None].astype(jnp.float32)  # (1, 256)
@@ -146,17 +132,31 @@ def _stem_fwd_kernel(x4_ref, w_ref, b_ref, out_ref, *, G, HS, WS):
     out_ref[...] = pool
 
 
-def _stem_bwd_kernel(x4_ref, g_ref, w_ref, b_ref, dw_ref, a_ref, *, G, HS, WS):
+def _stem_fwd_save_kernel(x4_ref, w_ref, b_ref, out_ref, yg_ref, *, G, HS, WS):
+    """Training forward: also materializes the parity-packed conv+relu output
+    yg so the backward skips the conv recompute (same trade as block_fused's
+    saved-residuals backward, which beat its recompute variant on-chip)."""
+    pool, yg, _ = _forward_math(x4_ref[...], w_ref[...], b_ref[...], G, HS, WS)
+    out_ref[...] = pool
+    yg_ref[...] = yg
+
+
+def _stem_bwd_kernel(x4_ref, g_ref, out_ref, yg_ref, dw_ref, a_ref, *, G, HS, WS):
+    """Wgrad-only backward from SAVED activations: no conv recompute — reads
+    the fwd-saved yg (parity-packed conv+relu) and the pool output, routes the
+    pool cotangent through first-match take-masks, masks by relu, accumulates
+    dW in f32 scratch across the sequential grid."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         a_ref[:] = jnp.zeros_like(a_ref)
 
-    pool, yg, x4p = _forward_math(x4_ref[...], w_ref[...], b_ref[...], G, HS, WS)
+    x4p = jnp.pad(x4_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    yg = yg_ref[...]
     yg_p = jnp.pad(yg, ((0, 0), (1, 0), (1, 0), (0, 0)))
     g = g_ref[...].astype(jnp.float32)  # (G, HS, WS, 64)
-    pool_f = pool.astype(jnp.float32)
+    pool_f = out_ref[...].astype(jnp.float32)
 
     # pool backward: first-match take masks, scattered into parity slices
     taken = jnp.zeros((G, HS, WS, 64), jnp.float32)
@@ -209,7 +209,31 @@ def _stem_fwd_pallas(x4, w, b, interpret: bool, G: int = 1):
     )(x4, w, b)
 
 
-def _stem_bwd_pallas(x4, g, w, b, interpret: bool, G: int = 1):
+def _stem_fwd_save_pallas(x4, w, b, interpret: bool, G: int = 1):
+    N, HS, WS, _ = x4.shape
+    kernel = functools.partial(_stem_fwd_save_kernel, G=G, HS=HS, WS=WS)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 256), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, HS, WS, 256), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, HS, WS, 64), x4.dtype),
+            jax.ShapeDtypeStruct((N, HS, WS, 256), x4.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x4, w, b)
+
+
+def _stem_bwd_pallas(x4, g, out, yg, interpret: bool, G: int = 1):
     N, HS, WS, _ = x4.shape
     kernel = functools.partial(_stem_bwd_kernel, G=G, HS=HS, WS=WS)
     return pl.pallas_call(
@@ -218,15 +242,15 @@ def _stem_bwd_pallas(x4, g, w, b, interpret: bool, G: int = 1):
         in_specs=[
             pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, 256), lambda i: (0, 0)),
+            pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((G, HS, WS, 256), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((9, 48, 256), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9, 48, 256), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x4, g, w, b)
+    )(x4, g, out, yg)
 
 
 # ─────────────────────────── XLA fallback (reference math) ───────────────────────────
@@ -250,13 +274,18 @@ def _stem_pool(x4, w, b, impl, interpret, gsz=1):
 
 
 def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1):
-    return _stem_pool(x4, w, b, impl, interpret, gsz), (x4, w, b)
+    if _use_pallas(impl):
+        # save yg (conv+relu, parity-packed) so the backward skips the conv
+        # recompute; the no-save forward stays the primal for eval/inference
+        out, yg = _stem_fwd_save_pallas(x4, w, b, _interp(interpret), gsz)
+        return out, (x4, out, yg, w, b)
+    return _xla_stem_pool(x4, w, b), (x4, None, None, w, b)
 
 
 def _stem_pool_bwd(impl, interpret, gsz, resids, g):
-    x4, w, b = resids
+    x4, out, yg, w, b = resids
     if _use_pallas(impl):
-        dw = _stem_bwd_pallas(x4, g, w, b, _interp(interpret), gsz)
+        dw = _stem_bwd_pallas(x4, g, out, yg, _interp(interpret), gsz)
     else:
         # autodiff of the fallback, discarding the (unneeded) image gradient
         _, vjp = jax.vjp(lambda wv: _xla_stem_pool(x4, wv, b), w)

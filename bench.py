@@ -174,6 +174,10 @@ def main() -> None:
     # BENCH_BN=frozentrain keeps scale/bias trainable; BENCH_BN=exact benches
     # train-mode batch statistics (the reference's literal train step).
     bn_mode = os.environ.get("BENCH_BN", "frozen")
+    # The fused-backbone Pallas path (whole-block + projection + stem kernels)
+    # is the model default ("auto" = on under TPU); BENCH_FUSE=off benches the
+    # pure-XLA step for comparison (103.3 vs 90.6 ms/step, docs/ROUND3_NOTES.md).
+    fuse = "off" if os.environ.get("BENCH_FUSE", "auto") == "off" else "auto"
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2,
@@ -181,6 +185,9 @@ def main() -> None:
             resnet_output_dim=1024,
             bn_frozen=bn_mode.startswith("frozen"),
             bn_frozen_affine=(bn_mode == "frozen"),
+            fuse_block=fuse,
+            fuse_proj=fuse,
+            fuse_stem=fuse,
         ),
         augmentation_config=AugmentationConfig(),
         use_augmentation=True,
