@@ -27,7 +27,7 @@ hw = (256, 256)
 
 
 def parse(arg):
-    d = dict(blk="-", proj="0", stem="0", B="128", bn="frozen")
+    d = dict(blk="-", proj="0", stem="0", stage="0", B="128", bn="frozen")
     for kv in arg.split(","):
         k, v = kv.split("=")
         d[k] = v
@@ -49,6 +49,7 @@ for d in specs:
             fuse_block_stages=stages if fuse_on else (0, 1),
             fuse_proj="on" if d["proj"] == "1" else "off",
             fuse_stem="on" if d["stem"] == "1" else "off",
+            fuse_stage="on" if d["stage"] == "1" else "off",
         ),
         use_augmentation=True, amp=True, wandb_log=False,
     )
@@ -73,7 +74,7 @@ for d in specs:
     final = float(loss)
     dt = (time.perf_counter() - t0) / n
     print(
-        f"blk={blk} proj={d['proj']} stem={d['stem']} B={B}: {dt*1e3:.1f} ms/step  "
+        f"blk={blk} proj={d['proj']} stem={d['stem']} stage={d['stage']} B={B}: {dt*1e3:.1f} ms/step  "
         f"{2*B/dt:.0f} cam-img/s  loss={final:.5f}  (compile {compile_s:.0f}s)",
         flush=True,
     )

@@ -92,6 +92,12 @@ class NCameraCNNConfig:
     # fuse_block+fuse_proj on, ZERO XLA convs remain in the backbone (the
     # fused flagship: 90.6 ms/step vs 103.3 unfused, docs/ROUND3_NOTES.md).
     fuse_stem: str = "auto"
+    # Chain whole stages (proj + identity blocks) into ONE kernel each way
+    # (ops/pallas/stage_fused.py); needs fuse_block+fuse_proj. Default stage 0
+    # only — deeper chains hit pathological Mosaic compile times (see
+    # models/resnet.py note); stage 3 always stays per-block (VMEM).
+    fuse_stage: str = "auto"
+    fuse_stage_stages: tuple = (0,)
     # Rematerialize residual blocks in the backward pass (see models/resnet.py):
     # `remat` checkpoints all blocks, `remat_stages` only the listed stage indices.
     # Bytes-for-FLOPs trade for the HBM-roofline-bound train step.
@@ -138,6 +144,8 @@ class NCameraCNN(nn.Module):
             fuse_block_stages=cfg.fuse_block_stages,
             fuse_proj=cfg.fuse_proj,
             fuse_stem=cfg.fuse_stem,
+            fuse_stage=cfg.fuse_stage,
+            fuse_stage_stages=cfg.fuse_stage_stages,
             remat=cfg.remat,
             remat_stages=cfg.remat_stages,
             name="backbone",

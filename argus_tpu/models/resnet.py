@@ -235,8 +235,14 @@ class BottleneckBlock(nn.Module):
     pw_impl: str = "auto"  # forwarded to the fused ops
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_fold: bool = False):
         is_identity = self.strides == 1 and x.shape[-1] == self.filters * self.expansion
+        if fused_fold:
+            # register this block's params and return the FOLDED effective
+            # weights instead of applying — the whole-stage chain kernels
+            # (ops/pallas/stage_fused.py) consume all blocks' weights at once.
+            # `x` may be a ShapeDtypeStruct: only .shape/.dtype are read.
+            return self._fold_params(x.dtype, x.shape[-1], is_identity)
         if self.fuse_block and is_identity:
             return self._call_fused_block(x)
         if self.fuse_proj and not is_identity:
@@ -312,6 +318,39 @@ class BottleneckBlock(nn.Module):
             k3, s3, b3, m3, v3,
             ksc, ssc, bsc, msc, vsc,
             stride=self.strides, eps=eps, impl=self.pw_impl, g=g,
+        )
+
+    def _fold_params(self, dtype, cin, is_identity):
+        """Register this block's params (same holders/names as the fused-call
+        paths, so the variable tree and init RNG order are unchanged) and
+        return the frozen-BN-folded effective weights: a 6-tuple for identity
+        blocks, an 8-tuple (incl. shortcut) for projection blocks — the
+        stage-chain operand layout (ops/pallas/stage_fused.py)."""
+        from argus_tpu.ops.pallas.block_fused import fold_bottleneck_params
+        from argus_tpu.ops.pallas.proj_fused import fold_projection_params
+
+        eps = self.norm.keywords.get("epsilon", 1e-5)
+        f = self.filters
+        cout = f * self.expansion
+
+        k1 = _Conv1x1Params(f, name="Conv_0")(cin)
+        s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
+        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        s2, b2, m2, v2 = _FrozenBNParams(name="BatchNorm_1")(f)
+        k3 = _Conv1x1Params(cout, name="Conv_2")(f)
+        s3, b3, m3, v3 = _FrozenBNParams(
+            scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
+        )(cout)
+        if is_identity:
+            return fold_bottleneck_params(
+                dtype, k1, s1, b1, m1, v1, k2, s2, b2, m2, v2, k3, s3, b3, m3, v3,
+                eps=eps,
+            )
+        ksc = _Conv1x1Params(cout, name="conv_proj")(cin)
+        ssc, bsc, msc, vsc = _FrozenBNParams(name="norm_proj")(cout)
+        return fold_projection_params(
+            dtype, k1, s1, b1, m1, v1, k2, s2, b2, m2, v2, k3, s3, b3, m3, v3,
+            ksc, ssc, bsc, msc, vsc, eps=eps,
         )
 
     def _call_fused(self, x):
@@ -423,6 +462,18 @@ class ResNet(nn.Module):
     # region fell 27 -> ~14 ms/step with the one-hot-conv s2d feed
     # (docs/ROUND3_NOTES.md) — default "auto" (= on under TPU).
     fuse_stem: str = "auto"
+    # Chain each listed stage's blocks (projection entry + identity blocks)
+    # into ONE Pallas kernel per direction (ops/pallas/stage_fused.py): the
+    # running activation and cotangent stay in VMEM across blocks, removing
+    # ~4 stage-sized HBM passes per inter-block boundary. Requires fuse_block
+    # AND fuse_proj active for the stage. Default stage 0 only: measured
+    # +1.4 ms there (25.8 vs 27.2 ms isolated, docs/ROUND3_NOTES.md); the
+    # stage-1 chain (proj+3id) ran >40 min in the remote Mosaic compile before
+    # the service dropped the connection, and stage 3's weight-grad VMEM
+    # accumulators alone (~60 MB f32) don't fit. "auto"/"on"/"off";
+    # "auto" = on under TPU (end-to-end: 85.2 -> 83.5 ms/step).
+    fuse_stage: str = "auto"
+    fuse_stage_stages: Sequence[int] = (0,)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -512,8 +563,41 @@ class ResNet(nn.Module):
                 "fuse_pointwise": True,
                 "pw_impl": "xla" if self.fuse_pointwise == "dot" else "auto",
             }
+        fuse_stg = (
+            fuse_blk
+            and fuse_prj
+            and (
+                self.fuse_stage == "on"
+                or (self.fuse_stage == "auto" and jax.default_backend() == "tpu")
+            )
+        )
         remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
+            if fuse_stg and i in self.fuse_stage_stages and i in self.fuse_block_stages:
+                # whole-stage chain: one Pallas kernel per direction; the
+                # chain's saved-residual backward is already memory-lean, so
+                # remat flags don't apply here (docstring in stage_fused.py)
+                from argus_tpu.ops.pallas.stage_fused import fused_stage
+
+                n_, h_, w_ = x.shape[0], x.shape[1], x.shape[2]
+                s0 = 2 if i > 0 else 1
+                cout = self.num_filters * 2**i * self.block_cls.expansion
+                folded = []
+                for j in range(block_count):
+                    blk = self.block_cls(
+                        filters=self.num_filters * 2**i,
+                        strides=s0 if j == 0 else 1,
+                        conv=conv,
+                        norm=norm,
+                        name=f"stage{i}_block{j}",
+                    )
+                    xin = x if j == 0 else jax.ShapeDtypeStruct(
+                        (n_, h_ // s0, w_ // s0, cout), x.dtype
+                    )
+                    folded.append(blk(xin, fused_fold=True))
+                g = _grid_images(n_, h_, w_, x.shape[-1])
+                x = fused_stage(x, folded[0], folded[1:], stride=s0, g=g)
+                continue
             block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
             block_kwargs = dict(base_kwargs)
             if fuse_blk and i in self.fuse_block_stages:

@@ -545,17 +545,30 @@ def fused_bottleneck_block(
     `g` = images per Pallas grid step. Deep stages have tiny per-image row
     counts (stage 3: 8x8 = 64 rows) that starve the 128-row MXU; batching g
     images per step restores full tiles. Must divide the batch."""
-    CIN = x.shape[-1]
+    w1, b1, w2, b2, w3, b3 = fold_bottleneck_params(
+        x.dtype, k1, s1, bi1, m1, v1, k2, s2, bi2, m2, v2, k3, s3, bi3, m3, v3, eps=eps
+    )
+    return _block_saved(x, w1, b1, w2, b2, w3, b3, impl, interpret, g)
+
+
+def fold_bottleneck_params(
+    dtype, k1, s1, bi1, m1, v1, k2, s2, bi2, m2, v2, k3, s3, bi3, m3, v3, *, eps=1e-5
+):
+    """Fold the three frozen BN affines into effective conv weights/biases:
+    (w1 (CIN,F), b1 (1,F), w2 (3,3,F,F), b2, w3 (F,CIN), b3) — the operand
+    layout of _block_saved and of the stage-chain kernels (stage_fused.py)."""
+    CIN = k1.shape[-2]
     F = k1.shape[-1]
 
-    def fold(k, s, b, m, v, cin, cout, shape):
+    def fold(k, s, b, m, v, cout, shape):
         c = s * jax.lax.rsqrt(v + eps)
-        w = (k.reshape(*shape).astype(jnp.float32) * c).astype(x.dtype)
+        w = (k.reshape(*shape).astype(jnp.float32) * c).astype(dtype)
         beff = (b - m * c).reshape(1, cout)
         return w, beff
 
-    w1, b1 = fold(k1, s1, bi1, m1, v1, CIN, F, (CIN, F))
-    w2 = (k2.astype(jnp.float32) * (s2 * jax.lax.rsqrt(v2 + eps))).astype(x.dtype)
-    b2 = (bi2 - m2 * (s2 * jax.lax.rsqrt(v2 + eps))).reshape(1, F)
-    w3, b3 = fold(k3, s3, bi3, m3, v3, F, CIN, (F, CIN))
-    return _block_saved(x, w1, b1, w2, b2, w3, b3, impl, interpret, g)
+    w1, b1 = fold(k1, s1, bi1, m1, v1, F, (CIN, F))
+    c2 = s2 * jax.lax.rsqrt(v2 + eps)
+    w2 = (k2.astype(jnp.float32) * c2).astype(dtype)
+    b2 = (bi2 - m2 * c2).reshape(1, F)
+    w3, b3 = fold(k3, s3, bi3, m3, v3, CIN, (F, CIN))
+    return w1, b1, w2, b2, w3, b3

@@ -498,19 +498,33 @@ def fused_projection_block(
     Folds the four frozen BN affines into effective conv weights/biases and
     runs the whole block (main path + strided 1x1-projection shortcut +
     residual relu) as one Pallas kernel each way."""
-    CIN = x.shape[-1]
+    folded = fold_projection_params(
+        x.dtype, k1, s1, bi1, m1, v1, k2, s2, bi2, m2, v2,
+        k3, s3, bi3, m3, v3, ksc, ssc, bisc, msc, vsc, eps=eps,
+    )
+    return _proj_block(x, *folded, stride, impl, interpret, g)
+
+
+def fold_projection_params(
+    dtype, k1, s1, bi1, m1, v1, k2, s2, bi2, m2, v2,
+    k3, s3, bi3, m3, v3, ksc, ssc, bisc, msc, vsc, *, eps=1e-5,
+):
+    """Fold the four frozen BN affines into effective conv weights/biases:
+    (w1 (CIN,F), b1, w2 (3,3,F,F), b2, w3 (F,COUT), b3, wsc (CIN,COUT), bsc)
+    — the operand layout of _proj_block and the stage-chain kernels."""
+    CIN = k1.shape[-2]
     F = k1.shape[-1]
     COUT = k3.shape[-1]
 
     def fold(k, s, b, m, v, shape, cout):
         c = s * jax.lax.rsqrt(v + eps)
-        w = (k.reshape(*shape).astype(jnp.float32) * c).astype(x.dtype)
+        w = (k.reshape(*shape).astype(jnp.float32) * c).astype(dtype)
         return w, (b - m * c).reshape(1, cout)
 
     w1, b1 = fold(k1, s1, bi1, m1, v1, (CIN, F), F)
     c2 = s2 * jax.lax.rsqrt(v2 + eps)
-    w2 = (k2.astype(jnp.float32) * c2).astype(x.dtype)
+    w2 = (k2.astype(jnp.float32) * c2).astype(dtype)
     b2 = (bi2 - m2 * c2).reshape(1, F)
     w3, b3 = fold(k3, s3, bi3, m3, v3, (F, COUT), COUT)
     wsc, bsc = fold(ksc, ssc, bisc, msc, vsc, (CIN, COUT), COUT)
-    return _proj_block(x, w1, b1, w2, b2, w3, b3, wsc, bsc, stride, impl, interpret, g)
+    return w1, b1, w2, b2, w3, b3, wsc, bsc

@@ -499,6 +499,16 @@ def _stage_chain_bwd(S, impl, interpret, gsz, resids, g):
 
         _, vjp = jax.vjp(f, x, pw, idws)
         dx_f, dpw_f, didws_f = vjp(g)
+        # frozen-affine contract (same as the per-block ops): the folded biases
+        # come from frozen BN buffers — their cotangents are defined as zero
+        if has_proj:
+            dpw_f = tuple(
+                jnp.zeros_like(pw[i]) if i % 2 == 1 else dpw_f[i] for i in range(8)
+            )
+        didws_f = tuple(
+            tuple(jnp.zeros_like(idws[j][i]) if i % 2 == 1 else didws_f[j][i] for i in range(6))
+            for j in range(len(idws))
+        )
         return dx_f, dpw_f, didws_f
     dt_w = (pw[0] if has_proj else idws[0][0]).dtype
     if has_proj:

@@ -27,7 +27,9 @@ TPU formulation (the 7x7-over-3-channels conv is MXU-hostile as-is: K = 3):
     is exact here: relu output is >= 0, so pad cells never win a max that
     -inf padding (torch semantics) would have lost.
   * Backward: the image needs NO gradient (it is data), so the backward is
-    wgrad-only — recompute the packed activations in VMEM, route the pool
+    wgrad-only — read the fwd-saved parity-packed conv+relu output yg (saving
+    it beat recomputing the conv in-kernel: 9.5 -> ~6 ms at flagship shapes,
+    the same trade block_fused's saved-residual backward won), route the pool
     cotangent through first-match take-masks (select-and-scatter tie
     semantics), mask by relu, and accumulate dW = tap^T @ dacc in f32 scratch
     across the sequential grid.

@@ -188,6 +188,7 @@ def main() -> None:
             fuse_block=fuse,
             fuse_proj=fuse,
             fuse_stem=fuse,
+            fuse_stage=fuse,
         ),
         augmentation_config=AugmentationConfig(),
         use_augmentation=True,
