@@ -49,7 +49,14 @@ for d in specs:
             fuse_block_stages=stages if fuse_on else (0, 1),
             fuse_proj="on" if d["proj"] == "1" else "off",
             fuse_stem="on" if d["stem"] == "1" else "off",
-            fuse_stage="on" if d["stage"] == "1" else "off",
+            # stage=0 off, stage=1 on (default stages), stage=NNN... on with
+            # those stage indices chained (e.g. stage=012)
+            fuse_stage="off" if d["stage"] == "0" else "on",
+            fuse_stage_stages=(
+                tuple(int(c) for c in d["stage"])
+                if d["stage"] not in ("0", "1")
+                else (0,)
+            ),
         ),
         use_augmentation=True, amp=True, wandb_log=False,
     )

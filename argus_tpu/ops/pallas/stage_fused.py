@@ -544,8 +544,31 @@ def fused_stage(
     impl: str = "auto",
     interpret: Optional[bool] = None,
     g: int = 1,
+    chain_cap: int = 3,
 ) -> jnp.ndarray:
-    """Run a whole ResNet stage (projection entry + identity blocks) as ONE
-    fused Pallas kernel each way. Weights are the FOLDED effective weights
-    (frozen BN affines already folded in — block_fused.fold_* helpers)."""
-    return _stage_chain(x, proj_folded, tuple(id_folded), stride, impl, interpret, g)
+    """Run a whole ResNet stage (projection entry + identity blocks) as fused
+    Pallas chain kernels. Weights are the FOLDED effective weights (frozen BN
+    affines already folded in — block_fused.fold_* helpers).
+
+    `chain_cap` bounds the blocks per kernel: 4-block bodies drove the remote
+    Mosaic compile past its practical envelope (the stage-1 proj+3id chain sat
+    >40 min before the compile service dropped the connection —
+    docs/ROUND3_NOTES.md), so longer stages split into consecutive <=cap
+    chains (proj rides the first; later groups are pure identity chains). Each
+    split boundary keeps its HBM round-trip; everything inside a group stays
+    VMEM-resident."""
+    ids = list(id_folded)
+    nblocks = (1 if proj_folded is not None else 0) + len(ids)
+    if nblocks <= chain_cap:
+        return _stage_chain(x, proj_folded, tuple(ids), stride, impl, interpret, g)
+    head = chain_cap - (1 if proj_folded is not None else 0)
+    x = _stage_chain(x, proj_folded, tuple(ids[:head]), stride, impl, interpret, g)
+    # identity geometry after the stage entry: recompute the grid size so deep
+    # stages keep their multi-image MXU grids
+    from argus_tpu.models.resnet import _grid_images
+
+    g_id = _grid_images(x.shape[0], x.shape[1], x.shape[2], x.shape[3])
+    for start in range(head, len(ids), chain_cap):
+        group = tuple(ids[start : start + chain_cap])
+        x = _stage_chain(x, None, group, 1, impl, interpret, g_id)
+    return x

@@ -91,6 +91,37 @@ def test_chain_matches_composed_reference(cin, f, cout, S, n_id, with_proj):
             np.testing.assert_array_equal(np.asarray(b), 0.0, err_msg=f"{tag}:b{k}")
 
 
+def test_chain_cap_splitting_matches_unsplit():
+    """A stage longer than chain_cap splits into consecutive chains; the split
+    must be value- and grad-exact vs the single-chain math."""
+    rng = np.random.default_rng(2)
+    cin, f, cout, S = 32, 16, 64, 2
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, cin)), jnp.float32)
+    pw, idws = _mk_params(rng, cin, f, cout, 5, True)  # proj + 5 ids (stage-2 shape)
+
+    def loss(cap):
+        def inner(params):
+            pwv, idwsv = params
+            out = fused_stage(
+                x, pwv, idwsv, stride=S, impl="pallas", interpret=True, chain_cap=cap
+            )
+            return jnp.sum(out * jnp.sin(out * 0.1))
+        return inner
+
+    params = (pw, idws)
+    v3, g3 = jax.value_and_grad(loss(3))(params)       # split: proj+2id, 3id
+    v9, g9 = jax.value_and_grad(loss(9))(params)       # single chain
+    np.testing.assert_allclose(float(v3), float(v9), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g3),
+        jax.tree_util.tree_leaves_with_path(g9),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_model_level_fused_stage_equivalence():
     """fuse_stage must keep the variable tree, outputs, and gradients of the
     frozen-affine model (interpret-mode kernels on CPU)."""
