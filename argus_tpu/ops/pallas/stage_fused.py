@@ -195,7 +195,7 @@ def _proj_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, wsc, G, H, W, CIN, F,
 # bnd_b is block b's output = block b+1's input; `out` is the last block's.
 
 
-def _chain_geometry(has_proj, H, W, CIN, F, COUT, S):
+def _chain_geometry(has_proj, H, W, S):
     """Returns (Ho, Wo): the chain-output spatial dims."""
     if has_proj:
         return H // S, W // S
@@ -203,7 +203,7 @@ def _chain_geometry(has_proj, H, W, CIN, F, COUT, S):
 
 
 def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
-    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
 
     def kernel(*refs):
@@ -246,7 +246,7 @@ def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
 
 
 def _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S):
-    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
     n_dw = (4 if has_proj else 0) + 3 * K
 
@@ -333,7 +333,7 @@ def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
     K = len(idws)
     F = (pw[0] if has_proj else idws[0][0]).shape[1]
     COUT = pw[4].shape[1] if has_proj else CIN
-    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
     dt = x.dtype
 
@@ -379,7 +379,7 @@ def _chain_bwd_pallas(x, g, out, bnds, h1s, h2s, pw, idws, S, interpret, G):
     K = len(idws)
     F = (pw[0] if has_proj else idws[0][0]).shape[1]
     COUT = pw[2].shape[1] if has_proj else CIN
-    Ho, Wo = _chain_geometry(has_proj, H, W, CIN, F, COUT, S)
+    Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
     dt = x.dtype
 
