@@ -80,3 +80,57 @@ class Estimator:
         """Estimate one pose from per-camera frames [(H, W, 3), ...] (uint8)."""
         stacked = np.concatenate(frames, axis=-1)[None]
         return self.predict(stacked, wxyz=wxyz)[0]
+
+
+def export_estimator(
+    checkpoint_path: str,
+    out_path: str,
+    *,
+    model_config=None,
+    height: int = 256,
+    width: int = 256,
+    batch_size: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Serialize the compiled uint8 -> SE(3) inference program — weights baked
+    in as constants — to ONE file via `jax.export` (portable StableHLO).
+
+    The artifact is loadable by `ExportedEstimator` (or raw
+    `jax.export.deserialize`) in a serving process that needs NO model code,
+    flax, or checkpoint plumbing — the deployment story the reference leaves
+    at "reconstruct the torch module and load a state_dict by hand"
+    (argus/validate.py:100-103). `platforms` pins the target backends (e.g.
+    ["tpu"] to cross-lower from a CPU build host); default = the current
+    backend."""
+    from jax import export as jax_export
+
+    est = Estimator(checkpoint_path, model_config, height, width, batch_size)
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, height, width, 3 * est.cfg.n_cams), jnp.uint8
+    )
+    exp = jax_export.export(est._infer, platforms=platforms)(spec)
+    with open(out_path, "wb") as f:
+        f.write(exp.serialize())
+
+
+class ExportedEstimator:
+    """Serving-side loader for `export_estimator` artifacts: deserialize once,
+    then `predict` with Estimator semantics (uint8 batches -> (B, 7) poses)."""
+
+    def __init__(self, path: str) -> None:
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            self._exp = jax_export.deserialize(f.read())
+        (spec,) = self._exp.in_avals
+        self.batch_size, self.height, self.width, self.channels = spec.shape
+        self._call = jax.jit(self._exp.call)
+        # warm the program so the first control-loop tick is fast
+        jax.block_until_ready(
+            self._call(jnp.zeros(spec.shape, spec.dtype))
+        )
+
+    def predict(self, images: np.ndarray, wxyz: bool = False) -> np.ndarray:
+        assert images.dtype == np.uint8 and images.ndim == 4
+        poses = np.asarray(self._call(jnp.asarray(images)))
+        return np.asarray(xyzxyzw_to_xyzwxyz_SE3(poses)) if wxyz else poses

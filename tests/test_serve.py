@@ -38,6 +38,37 @@ def test_estimator_predicts(tmp_path):
     assert single.shape == (7,)
 
 
+def test_export_estimator_roundtrip(tmp_path):
+    """export_estimator writes a single jax.export artifact that an
+    ExportedEstimator (no model code / checkpoint access) loads and that
+    reproduces the live Estimator's predictions exactly."""
+    from argus_tpu.serve import ExportedEstimator, export_estimator
+
+    class _Cfg:
+        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+        amp = False
+        max_grad_norm = 1.0
+        learning_rate = 1e-4
+
+    _, state = create_train_state(_Cfg(), jax.random.PRNGKey(0), (64, 64))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, state)
+
+    art = str(tmp_path / "estimator.stablehlo")
+    export_estimator(ckpt, art, model_config=_Cfg.model_config, height=64, width=64)
+
+    est = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64)
+    served = ExportedEstimator(art)
+    assert (served.batch_size, served.height, served.width, served.channels) == (1, 64, 64, 6)
+
+    rng = np.random.default_rng(1)
+    batch = rng.integers(0, 256, (1, 64, 64, 6), dtype=np.uint8)
+    np.testing.assert_allclose(served.predict(batch), est.predict(batch), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        served.predict(batch, wxyz=True), est.predict(batch, wxyz=True), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_estimator_keypoint_family_from_meta(tmp_path):
     """A keypoint checkpoint is servable with NO out-of-band config — the
     Estimator reconstructs the family from the checkpoint metadata (VERDICT r2:
