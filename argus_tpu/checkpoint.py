@@ -73,6 +73,58 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> str:
     return path
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with training.
+
+    `save_checkpoint` is synchronous: it device_gets the whole train state
+    (~11 s for 200 MB through a remote-TPU tunnel; still milliseconds-to-
+    seconds on a co-located host), serializes, and writes — all while the
+    train loop stalls. This class moves the fetch+serialize+write into a
+    worker thread so the loop keeps dispatching steps.
+
+    Donation safety: the train step donates its input state buffers
+    (train.py `donate_argnums=(0,)`), so a background fetch of the LIVE state
+    would race buffer invalidation. `save` first snapshots every device array
+    with an on-device copy (cheap — on-chip HBM copy, no host round-trip) and
+    the worker fetches the snapshot. One save in flight at a time: a new
+    `save` waits for the previous one (never reorders or drops checkpoints).
+    Worker exceptions re-raise on the next `save`/`wait`. Call `wait()` after
+    the final save (and before exiting on preemption) to guarantee the file
+    is on disk."""
+
+    def __init__(self) -> None:
+        self._thread: Optional["threading.Thread"] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, path: str, tree: Any, meta: Optional[dict] = None) -> str:
+        import threading
+
+        self.wait()
+        import jax.numpy as jnp
+
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+        def work():
+            try:
+                save_checkpoint(path, snap, meta=meta)
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=work, name="argus-ckpt", daemon=True)
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def find_latest_checkpoint(save_dir: str) -> Optional[str]:
     """Most recently written .ckpt under `save_dir`, or None.
 

@@ -38,7 +38,7 @@ import optax
 from flax import struct
 
 from argus_tpu import ROOT
-from argus_tpu.checkpoint import load_checkpoint, save_checkpoint
+from argus_tpu.checkpoint import AsyncCheckpointer, load_checkpoint, save_checkpoint
 from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig, HostDataLoader
 from argus_tpu.geom import se3_exp, se3_inverse, se3_log, se3_multiply
 from argus_tpu.logging_utils import MetricsLogger, generate_run_id
@@ -121,6 +121,10 @@ class TrainConfig:
     print_epochs: int = 1
     save_epochs: int = 5
     save_dir: str = os.path.join(ROOT, "outputs", "models")
+    # overlap checkpoint fetch+serialize+write with training (AsyncCheckpointer:
+    # donation-safe on-device snapshot, worker-thread I/O); the final save is
+    # always drained before train() returns
+    async_checkpoint: bool = True
 
     # data augmentation
     augmentation_config: AugmentationConfig = field(default_factory=AugmentationConfig)
@@ -556,16 +560,20 @@ def train(cfg: TrainConfig) -> str:
     global_step = int(jax.device_get(state.step))
     guard = PreemptionGuard()
     preempted = False
+    ckpt = AsyncCheckpointer() if cfg.async_checkpoint else None
     guard.__enter__()
     try:
         state, global_step, lr, preempted = _train_epochs(
             cfg, setup, state, train_step, eval_step, logger, scheduler,
-            ckpt_path, guard, global_step, lr, rank, tqdm,
+            ckpt_path, guard, global_step, lr, rank, tqdm, ckpt,
         )
     finally:
         # always restore the SIGTERM handler — leaving it installed after an
         # exception would silently swallow real termination signals
         guard.__exit__()
+        # drain any in-flight async save so an exception can't strand a .tmp
+        if ckpt is not None:
+            ckpt.wait()
     save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
     logger.finish()
     if preempted:
@@ -575,7 +583,7 @@ def train(cfg: TrainConfig) -> str:
 
 def _train_epochs(
     cfg, setup, state, train_step, eval_step, logger, scheduler, ckpt_path,
-    guard, global_step, lr, rank, tqdm,
+    guard, global_step, lr, rank, tqdm, ckpt=None,
 ):
     """Epoch loop body of train(), split out so the PreemptionGuard can wrap it
     in try/finally. Returns (state, global_step, lr, preempted)."""
@@ -645,9 +653,13 @@ def _train_epochs(
                 state = state.replace(lr=jnp.asarray(lr, jnp.float32))
                 rank_print(f"    Reducing learning rate to {lr:.2e}", rank)
 
-        # ── checkpoint (full train state; single format for 1..N chips) ──
+        # ── checkpoint (full train state; single format for 1..N chips);
+        # async by default: donation-safe snapshot now, I/O in a worker ──
         if epoch % cfg.save_epochs == 0:
-            save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
+            if ckpt is not None:
+                ckpt.save(ckpt_path, state, meta=checkpoint_meta(cfg))
+            else:
+                save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
 
     return state, global_step, lr, preempted
 

@@ -18,6 +18,36 @@ def test_roundtrip_plain_tree(tmp_path):
     assert int(out["b"]["n"]) == 3
 
 
+def test_async_checkpointer_matches_sync_and_survives_donation(tmp_path):
+    """AsyncCheckpointer must (a) write byte-identical files to the sync path,
+    (b) snapshot before returning so donated/overwritten source buffers can't
+    corrupt the in-flight save, and (c) re-raise worker errors on wait()."""
+    from argus_tpu.checkpoint import AsyncCheckpointer
+
+    tree = {"a": jnp.arange(6.0), "b": {"c": jnp.full((4, 4), 2.0)}}
+    sync_path = str(tmp_path / "sync.ckpt")
+    async_path = str(tmp_path / "async.ckpt")
+    save_checkpoint(sync_path, tree, meta={"k": 1})
+
+    ck = AsyncCheckpointer()
+    ck.save(async_path, tree, meta={"k": 1})
+    # clobber the source arrays while the save is (possibly) in flight — the
+    # donation-safety contract says the snapshot was taken before save returned
+    tree["a"] = tree["a"] * 0 - 1.0
+    tree["b"]["c"] = tree["b"]["c"] * 0 - 1.0
+    ck.wait()
+    assert open(async_path, "rb").read() == open(sync_path, "rb").read()
+
+    # worker exceptions surface on wait(): a FILE as the parent "directory"
+    # makes the worker's makedirs raise
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")
+    ck2 = AsyncCheckpointer()
+    ck2.save(str(blocker / "x.ckpt"), {"a": jnp.ones(())})
+    with pytest.raises(OSError):
+        ck2.wait()
+
+
 def test_roundtrip_with_target(tmp_path):
     from argus_tpu.models import NCameraCNNConfig
     from argus_tpu.train import create_train_state
