@@ -105,8 +105,10 @@ def export_estimator(
     from jax import export as jax_export
 
     est = Estimator(checkpoint_path, model_config, height, width, batch_size)
+    # est.hw reflects the checkpoint's embedded center_crop when present —
+    # export the shape the estimator actually compiled for
     spec = jax.ShapeDtypeStruct(
-        (batch_size, height, width, 3 * est.cfg.n_cams), jnp.uint8
+        (est.batch_size, *est.hw, 3 * est.cfg.n_cams), jnp.uint8
     )
     exp = jax_export.export(est._infer, platforms=platforms)(spec)
     with open(out_path, "wb") as f:

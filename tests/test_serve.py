@@ -69,6 +69,34 @@ def test_export_estimator_roundtrip(tmp_path):
     )
 
 
+def test_export_estimator_keypoint_family(tmp_path):
+    """The keypoint family (corner heatmaps -> triangulation -> Procrustes)
+    also exports: the whole geometric pipeline serializes into the artifact."""
+    from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
+    from argus_tpu.serve import ExportedEstimator, export_estimator
+    from argus_tpu.train import TrainConfig, checkpoint_meta, create_train_state
+
+    cfg = TrainConfig(
+        model_type="keypoint",
+        keypoint_config=CubeKeypointNetConfig(n_cams=2, backbone="resnet18", head_features=16),
+        wandb_log=False,
+        save_dir=str(tmp_path),
+    )
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64))
+    ckpt = str(tmp_path / "kp.ckpt")
+    meta = checkpoint_meta(cfg)
+    meta["center_crop"] = [64, 64]
+    save_checkpoint(ckpt, state, meta=meta)
+
+    art = str(tmp_path / "kp.stablehlo")
+    export_estimator(ckpt, art)
+
+    est = Estimator(ckpt)
+    served = ExportedEstimator(art)
+    batch = np.random.default_rng(2).integers(0, 256, (1, 64, 64, 6), dtype=np.uint8)
+    np.testing.assert_allclose(served.predict(batch), est.predict(batch), rtol=1e-5, atol=1e-6)
+
+
 def test_estimator_keypoint_family_from_meta(tmp_path):
     """A keypoint checkpoint is servable with NO out-of-band config — the
     Estimator reconstructs the family from the checkpoint metadata (VERDICT r2:
