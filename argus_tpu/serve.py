@@ -39,14 +39,23 @@ class Estimator:
         self,
         checkpoint_path: str,
         model_config=None,
-        height: int = 256,
-        width: int = 256,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
         batch_size: int = 1,
     ) -> None:
         raw, meta = load_checkpoint_with_meta(checkpoint_path)
         model, self.cfg, self.model_type = resolve_model(meta, model_config)
-        if meta.get("center_crop") and model_config is None:
-            height, width = (int(v) for v in meta["center_crop"])
+        # resolution precedence: an EXPLICIT height/width always wins (the
+        # caller knows their camera), then the checkpoint's embedded training
+        # crop, then the reference default 256
+        if height is None or width is None:
+            mh, mw = (
+                (int(v) for v in meta["center_crop"])
+                if meta.get("center_crop")
+                else (256, 256)
+            )
+            height = mh if height is None else height
+            width = mw if width is None else width
         self.hw = (height, width)
         self.batch_size = batch_size
         variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
@@ -87,8 +96,8 @@ def export_estimator(
     out_path: str,
     *,
     model_config=None,
-    height: int = 256,
-    width: int = 256,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
 ) -> None:

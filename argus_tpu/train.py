@@ -176,38 +176,46 @@ def make_optimizer(max_grad_norm: float) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.scale_by_adam())
 
 
-def checkpoint_meta(cfg: TrainConfig) -> dict:
-    """Model metadata stored INSIDE checkpoints (checkpoint.py format 2): the
-    family and the exact config that trained (amp dtype override applied, like
-    build_model), plus the crop — everything serve/validate/validate_real need
-    to reconstruct the model without out-of-band knowledge (VERDICT r2 #4)."""
+def _resolved_model_config(cfg: TrainConfig):
+    """(model_type, model config with the amp dtype override applied) — the
+    ONE place the override lives, shared by build_model and checkpoint_meta so
+    the stored metadata can never drift from the model that actually trained."""
     import dataclasses as dc
 
     model_type = getattr(cfg, "model_type", "pose_cnn")
     mcfg = cfg.keypoint_config if model_type == "keypoint" else cfg.model_config
     if cfg.amp and mcfg.dtype != "bfloat16":
         mcfg = dc.replace(mcfg, dtype="bfloat16")
+    return model_type, mcfg
+
+
+def checkpoint_meta(cfg: TrainConfig, hw: Optional[tuple] = None) -> dict:
+    """Model metadata stored INSIDE checkpoints (checkpoint.py format 2): the
+    family and the exact config that trained (amp dtype override applied, like
+    build_model), plus the crop — everything serve/validate/validate_real need
+    to reconstruct the model without out-of-band knowledge (VERDICT r2 #4).
+
+    `hw` is the ACTUAL training resolution (train() passes its resolved
+    sample_hw); without it the dataset config's crop is used. The bare
+    (256, 256) default only applies when neither is known — a checkpoint
+    trained at the dataset's native size must not claim a resolution the
+    model never saw."""
+    import dataclasses as dc
+
+    model_type, mcfg = _resolved_model_config(cfg)
     ds = getattr(cfg, "dataset_config", None)
-    crop = list((ds.center_crop if ds is not None else None) or (256, 256))
+    crop = list(
+        hw or (ds.center_crop if ds is not None else None) or (256, 256)
+    )
     return {"model_type": model_type, "model_config": dc.asdict(mcfg), "center_crop": crop}
 
 
 def build_model(cfg: TrainConfig):
     """Construct the configured model family, applying the amp dtype override."""
-    import dataclasses
-
-    model_type = getattr(cfg, "model_type", "pose_cnn")
+    model_type, mcfg = _resolved_model_config(cfg)
     if model_type == "keypoint":
-        kc = cfg.keypoint_config
-        if cfg.amp and kc.dtype != "bfloat16":
-            kc = dataclasses.replace(kc, dtype="bfloat16")
-        return CubeKeypointNet(kc), kc.n_cams
-    model_cfg = cfg.model_config
-    if cfg.amp and model_cfg.dtype != "bfloat16":
-        import dataclasses as dc
-
-        model_cfg = dc.replace(model_cfg, dtype="bfloat16")
-    return NCameraCNN(model_cfg), model_cfg.n_cams
+        return CubeKeypointNet(mcfg), mcfg.n_cams
+    return NCameraCNN(mcfg), mcfg.n_cams
 
 
 def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tuple:
@@ -229,7 +237,7 @@ def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tu
 # ───────────────────────────── steps ─────────────────────────────
 
 
-def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=None):
+def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=None, hw=None):
     """Build the jitted train step. The whole hot path — u8->f32, augmentation,
     forward, loss, backward, clipped Adam update — is ONE XLA program.
 
@@ -262,7 +270,10 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
     feed_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
     if model_type == "keypoint":
         ds_cfg = getattr(cfg, "dataset_config", None)
-        crop = tuple((ds_cfg.center_crop if ds_cfg else None) or (256, 256))
+        # intrinsics follow the ACTUAL training resolution: explicit hw from
+        # the caller (train() passes its resolved sample_hw), else the crop,
+        # else the reference default
+        crop = tuple(hw or (ds_cfg.center_crop if ds_cfg else None) or (256, 256))
         cam_P = nominal_camera_matrices(*crop)
     else:
         cam_P = None
@@ -371,7 +382,7 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
     return train_step
 
 
-def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
+def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, hw=None):
     """Jitted eval step. Returns (sum of per-sample losses, count) so the epoch mean
     is exact under padding. Spaghetti arcs are applied when cfg.val_spaghetti, which
     is what the reference's val pipeline effectively does (argus/data.py:213).
@@ -386,7 +397,10 @@ def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int):
     n_spag = cfg.augmentation_config.num_spaghetti if cfg.use_augmentation else 0
     if model_type == "keypoint":
         ds_cfg = getattr(cfg, "dataset_config", None)
-        crop = tuple((ds_cfg.center_crop if ds_cfg else None) or (256, 256))
+        # intrinsics follow the ACTUAL training resolution: explicit hw from
+        # the caller (train() passes its resolved sample_hw), else the crop,
+        # else the reference default
+        crop = tuple(hw or (ds_cfg.center_crop if ds_cfg else None) or (256, 256))
         cam_P = nominal_camera_matrices(*crop)
     else:
         cam_P = None
@@ -513,8 +527,8 @@ def initialize_training(cfg: TrainConfig):
     )
     state = jax.device_put(state, shardings)
 
-    train_step = make_train_step(model, cfg, base_seed=cfg.random_seed, mesh=mesh)
-    eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed)
+    train_step = make_train_step(model, cfg, base_seed=cfg.random_seed, mesh=mesh, hw=sample_hw)
+    eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed, hw=sample_hw)
 
     run_id = generate_run_id()
     logger = MetricsLogger(
@@ -527,6 +541,7 @@ def initialize_training(cfg: TrainConfig):
     return dict(
         mesh=mesh,
         model=model,
+        sample_hw=sample_hw,
         state=state,
         train_loader=train_loader,
         val_loader=val_loader,
@@ -561,20 +576,30 @@ def train(cfg: TrainConfig) -> str:
     guard = PreemptionGuard()
     preempted = False
     ckpt = AsyncCheckpointer() if cfg.async_checkpoint else None
+    meta = checkpoint_meta(cfg, hw=setup.get("sample_hw"))
     guard.__enter__()
     try:
         state, global_step, lr, preempted = _train_epochs(
             cfg, setup, state, train_step, eval_step, logger, scheduler,
-            ckpt_path, guard, global_step, lr, rank, tqdm, ckpt,
+            ckpt_path, guard, global_step, lr, rank, tqdm, ckpt, meta,
         )
     finally:
         # always restore the SIGTERM handler — leaving it installed after an
         # exception would silently swallow real termination signals
         guard.__exit__()
-        # drain any in-flight async save so an exception can't strand a .tmp
+        # drain any in-flight async save so an exception can't strand a .tmp;
+        # if we are already unwinding an exception, report the drain error but
+        # don't let it REPLACE the original fault
         if ckpt is not None:
-            ckpt.wait()
-    save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
+            import sys
+
+            try:
+                ckpt.wait()
+            except BaseException as e:
+                if sys.exc_info()[0] is None:
+                    raise
+                rank_print(f"    (async checkpoint drain also failed: {e!r})", rank)
+    save_checkpoint(ckpt_path, state, meta=meta)
     logger.finish()
     if preempted:
         rank_print(f"    Preempted at step {global_step}; resumable from {ckpt_path}", rank)
@@ -583,7 +608,7 @@ def train(cfg: TrainConfig) -> str:
 
 def _train_epochs(
     cfg, setup, state, train_step, eval_step, logger, scheduler, ckpt_path,
-    guard, global_step, lr, rank, tqdm, ckpt=None,
+    guard, global_step, lr, rank, tqdm, ckpt=None, meta=None,
 ):
     """Epoch loop body of train(), split out so the PreemptionGuard can wrap it
     in try/finally. Returns (state, global_step, lr, preempted)."""
@@ -656,10 +681,12 @@ def _train_epochs(
         # ── checkpoint (full train state; single format for 1..N chips);
         # async by default: donation-safe snapshot now, I/O in a worker ──
         if epoch % cfg.save_epochs == 0:
+            if meta is None:
+                meta = checkpoint_meta(cfg)
             if ckpt is not None:
-                ckpt.save(ckpt_path, state, meta=checkpoint_meta(cfg))
+                ckpt.save(ckpt_path, state, meta=meta)
             else:
-                save_checkpoint(ckpt_path, state, meta=checkpoint_meta(cfg))
+                save_checkpoint(ckpt_path, state, meta=meta)
 
     return state, global_step, lr, preempted
 

@@ -106,7 +106,12 @@ def validate(cfg: ValConfig) -> dict:
     if model_type == "keypoint":
         from argus_tpu.models.keypoint_net import fit_pose, nominal_camera_matrices
 
-        crop = tuple(cfg.dataset_config.center_crop or (256, 256))
+        # intrinsics must match the ACTUAL image size: explicit crop, else the
+        # dataset's native resolution (a hardcoded 256 here silently corrupts
+        # triangulation on non-256 datasets)
+        crop = tuple(
+            cfg.dataset_config.center_crop or dataset[0]["images"].shape[:2]
+        )
         cam_P = nominal_camera_matrices(*crop)
 
     @jax.jit
