@@ -115,6 +115,11 @@ class TrainConfig:
     # loader workers, derived from the actual host (the reference hard-codes 16,
     # argus/train.py:147-149 — a lie on a 1-core box; VERDICT r2)
     num_workers: int = field(default_factory=lambda: min(16, max(1, os.cpu_count() or 1)))
+    # gradient accumulation: split each batch into this many microbatches and
+    # combine their mean gradients by mask count (EXACT full-batch masked-mean
+    # semantics; requires bn_frozen). Activation memory drops ~k-fold — the
+    # lever for batch sizes past HBM on small slices.
+    grad_accum_steps: int = 1
 
     # validation, printing, and saving
     val_epochs: int = 1
@@ -339,6 +344,15 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
             check_vma=False,  # custom-vjp pallas ops defeat the varying-axes checker
         )
 
+    accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+    if accum > 1:
+        # microbatch BN statistics would silently differ from the full-batch
+        # semantics; frozen BN makes accumulation EXACT (tests pin accum-k ==
+        # accum-1 updates)
+        assert getattr(mcfg, "bn_frozen", False), (
+            "grad_accum_steps > 1 requires bn_frozen (exact accumulation)"
+        )
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         key = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
@@ -348,26 +362,70 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
                 aug_cfg, key, images, n_cams=n_cams, train=True, mesh=mesh
             )
 
-        def loss_fn(params):
-            pred, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
-            )
-            losses = _losses(pred, batch["cube_pose"])
-            mask = batch["mask"]
-            loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-            return loss, mutated["batch_stats"]
+        def lg(images_i, poses_i, mask_i):
+            """(masked-mean loss, new batch_stats, mean grads, mask count) on
+            one (micro)batch — the shared unit for accum == 1 and > 1."""
+            if shmap_dp:
+                loss_i, nbs_i, grads_i = _sharded_lg(
+                    state.params, state.batch_stats, images_i, poses_i, mask_i
+                )
+                return loss_i, nbs_i, grads_i, jnp.sum(mask_i)
 
-        if shmap_dp:
-            loss, new_batch_stats, grads = _sharded_lg(
-                state.params, state.batch_stats, images, batch["cube_pose"], batch["mask"]
-            )
-        else:
-            (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            def loss_fn(params):
+                pred, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images_i,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                losses = _losses(pred, poses_i)
+                loss = jnp.sum(losses * mask_i) / jnp.maximum(jnp.sum(mask_i), 1.0)
+                return loss, mutated["batch_stats"]
+
+            (loss_i, nbs_i), grads_i = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            return loss_i, nbs_i, grads_i, jnp.sum(mask_i)
+
+        if accum == 1:
+            loss, new_batch_stats, grads, _ = lg(
+                images, batch["cube_pose"], batch["mask"]
+            )
+        else:
+            # gradient accumulation: scan over k microbatches, combining the
+            # per-microbatch MEAN gradients by their mask counts — identical to
+            # the full-batch masked mean (fp association aside). Memory for
+            # activations drops by ~k; the batch_stats are frozen (asserted).
+            B = images.shape[0]
+            assert B % accum == 0, (B, accum)
+            mb = B // accum
+            xs = (
+                images.reshape(accum, mb, *images.shape[1:]),
+                batch["cube_pose"].reshape(accum, mb, -1),
+                batch["mask"].reshape(accum, mb),
+            )
+
+            def body(carry, x):
+                gsum, lsum, csum = carry
+                loss_i, _, grads_i, cnt_i = lg(*x)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32) * cnt_i, gsum, grads_i
+                )
+                return (gsum, lsum + loss_i * cnt_i, csum + cnt_i), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (gsum, lsum, csum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)), xs
+            )
+            denom = jnp.maximum(csum, 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / denom).astype(p.dtype), gsum, state.params
+            )
+            loss = lsum / denom
+            new_batch_stats = state.batch_stats  # frozen (asserted above)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)

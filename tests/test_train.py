@@ -144,3 +144,72 @@ def test_train_keypoint_variant(dummy_save_dir, dummy_data_path):
     assert int(state["step"]) >= 1
     leaves = jax.tree_util.tree_leaves(state["params"])
     assert all(jnp.all(jnp.isfinite(leaf)) for leaf in leaves)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=k must produce the SAME update as the full batch under
+    frozen BN (mask-count-weighted combination of microbatch mean gradients ==
+    full-batch masked mean), including with a padded/masked tail."""
+    import numpy as np
+
+    from argus_tpu.train import create_train_state, make_train_step
+
+    def mk_cfg(k):
+        return TrainConfig(
+            model_config=NCameraCNNConfig(
+                n_cams=2, backbone="resnet18", resnet_output_dim=16,
+                bn_frozen=True, bn_frozen_affine=True,
+            ),
+            use_augmentation=False,
+            wandb_log=False,
+            grad_accum_steps=k,
+            learning_rate=1e-3,
+        )
+
+    rng = np.random.default_rng(0)
+    B, hw = 8, (32, 32)
+    mask = np.ones((B,), np.float32)
+    mask[-3:] = 0.0  # padded tail inside the LAST microbatch
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (B, *hw, 6), dtype=np.uint8)),
+        "cube_pose": jnp.asarray(
+            np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (B, 1))
+        ),
+        "mask": jnp.asarray(mask),
+    }
+
+    results = {}
+    for k in (1, 4):
+        cfg = mk_cfg(k)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0), hw)
+        step = make_train_step(model, cfg, base_seed=0)
+        new_state, loss = step(state, batch)
+        results[k] = (float(loss), new_state.params)
+
+    l1, p1 = results[1]
+    l4, p4 = results[4]
+    assert abs(l1 - l4) < 1e-5, (l1, l4)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p4),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_grad_accum_requires_frozen_bn():
+    """Exact accumulation is gated on frozen BN: exact train-mode BN with
+    accumulation would silently change batch-statistic semantics."""
+    from argus_tpu.train import build_model, make_train_step
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
+        use_augmentation=False,
+        wandb_log=False,
+        grad_accum_steps=2,
+    )
+    model, _ = build_model(cfg)
+    with pytest.raises(AssertionError):
+        make_train_step(model, cfg, base_seed=0)
