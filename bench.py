@@ -146,7 +146,35 @@ def _bench_e2e(jax, jnp, train_step, state, batch_size, hw, n_steps=12):
 
 
 def main() -> None:
+    import threading
+
     import jax
+
+    # Backend-init watchdog: a dead remote-TPU tunnel makes jax.devices() hang
+    # FOREVER (observed after a tunnel-relay crash) — emit an error JSON line
+    # instead of silently eating the harness's whole time budget. Disarmed the
+    # moment device discovery returns; never fires during (slow) compiles.
+    def _no_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "train_images_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "extras": {"error": "backend init timed out (TPU tunnel down?)"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(17)
+
+    watchdog = threading.Timer(float(os.environ.get("BENCH_INIT_TIMEOUT", 600)), _no_backend)
+    watchdog.daemon = True
+    watchdog.start()
+    n_dev = len(jax.devices())
+    watchdog.cancel()
+    assert n_dev >= 1
 
     # persistent compilation cache: repeat bench runs skip the multi-minute remote
     # compiles (harmless no-op if the backend doesn't support it)
