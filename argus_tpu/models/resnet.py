@@ -82,7 +82,13 @@ def conv1_kernel_to_s2d(k7: Any) -> Any:
 
 
 class BasicBlock(nn.Module):
-    """3x3 + 3x3 residual block (ResNet-18/34)."""
+    """3x3 + 3x3 residual block (ResNet-18/34).
+
+    With `fuse_block` (requires bn_frozen + bn_frozen_affine), stride-1
+    IDENTITY blocks run as ONE whole-block Pallas kernel each way
+    (ops/pallas/basic_fused.py) — the keypoint family's resnet18 backbone gets
+    the same fused treatment as the flagship's bottlenecks. Strided/projection
+    blocks keep the XLA path."""
 
     filters: int
     strides: int
@@ -90,9 +96,12 @@ class BasicBlock(nn.Module):
     norm: ModuleDef
 
     expansion: int = 1
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fuse_block and self.strides == 1 and x.shape[-1] == self.filters:
+            return self._call_fused_block(x)
         residual = x
         y = self.conv(self.filters, (3, 3), (self.strides, self.strides), padding=((1, 1), (1, 1)))(x)
         y = self.norm()(y)
@@ -109,6 +118,24 @@ class BasicBlock(nn.Module):
             residual = self.norm(name="norm_proj")(residual)
 
         return nn.relu(y + residual)
+
+    def _call_fused_block(self, x):
+        from argus_tpu.ops.pallas.basic_fused import fused_basic_block
+
+        eps = self.norm.keywords.get("epsilon", 1e-5)
+        f = self.filters
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        g = _grid_images(n, h, w, x.shape[-1])
+
+        k1 = _Conv3x3Params(f, name="Conv_0")(x.shape[-1])
+        s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
+        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        s2, b2, m2, v2 = _FrozenBNParams(
+            scale_init=nn.initializers.zeros_init(), name="BatchNorm_1"
+        )(f)
+        return fused_basic_block(
+            x, k1, s1, b1, m1, v1, k2, s2, b2, m2, v2, eps=eps, g=g
+        )
 
 
 class _Conv1x1Params(nn.Module):
@@ -537,7 +564,7 @@ class ResNet(nn.Module):
             )
         )
         fuse_blk = (
-            self.block_cls is BottleneckBlock
+            self.block_cls in (BottleneckBlock, BasicBlock)
             and self.bn_frozen
             and self.bn_frozen_affine
             and (
@@ -603,6 +630,7 @@ class ResNet(nn.Module):
             if fuse_blk and i in self.fuse_block_stages:
                 block_kwargs["fuse_block"] = True
             if fuse_prj and i in self.fuse_block_stages:
+                # projection/strided fusion exists for bottlenecks only
                 block_kwargs["fuse_proj"] = True
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
