@@ -18,19 +18,31 @@ from argus_tpu import profiling
 bn_mode = os.environ.get("BENCH_BN", "frozen")
 B = int(os.environ.get("BENCH_BATCH", 128))
 hw = (256, 256)
-blk = os.environ.get("BENCH_FUSE_BLOCK", "-")  # '-' off, 'all', or digits
-proj = os.environ.get("BENCH_FUSE_PROJ", "0") == "1"
-stem = os.environ.get("BENCH_FUSE_STEM", "0") == "1"
-stages = tuple(range(4)) if blk == "all" else tuple(int(c) for c in blk if c.isdigit())
+blk = os.environ.get("BENCH_FUSE_BLOCK", "auto")  # 'auto' defaults, '-' off, 'all', digits
+if blk == "auto":
+    # Trace the flagship as shipped: every fuse_* option at its "auto" default.
+    fuse_kw = {}
+else:
+    proj = os.environ.get("BENCH_FUSE_PROJ", "0") == "1"
+    stem = os.environ.get("BENCH_FUSE_STEM", "0") == "1"
+    stage = os.environ.get("BENCH_FUSE_STAGE", "0")
+    stages = tuple(range(4)) if blk == "all" else tuple(int(c) for c in blk if c.isdigit())
+    fuse_kw = dict(
+        fuse_block="on" if blk != "-" else "off",
+        fuse_block_stages=stages if blk != "-" else (0, 1),
+        fuse_proj="on" if proj else "off",
+        fuse_stem="on" if stem else "off",
+        fuse_stage="off" if stage == "0" else "on",
+        fuse_stage_stages=(
+            tuple(int(c) for c in stage) if stage not in ("0", "1") else (0,)
+        ),
+    )
 cfg = TrainConfig(
     model_config=NCameraCNNConfig(
         n_cams=2, backbone="resnet50", resnet_output_dim=1024,
         bn_frozen=bn_mode.startswith("frozen"),
         bn_frozen_affine=bn_mode in ("frozen", "frozenaff"),
-        fuse_block="on" if blk != "-" else "off",
-        fuse_block_stages=stages if blk != "-" else (0, 1),
-        fuse_proj="on" if proj else "off",
-        fuse_stem="on" if stem else "off",
+        **fuse_kw,
     ),
     use_augmentation=True, amp=True, wandb_log=False,
 )

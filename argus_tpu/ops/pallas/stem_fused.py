@@ -94,13 +94,22 @@ def pack_stem_weights(k7, scale, bias, mean, var, eps, dtype):
 
 def _conv_packed(x4p, w, G, HS, WS):
     """x4p: (G, HS+2, WS+2, 48) zero-padded s2d input; w: (9, 48, 256).
-    Returns the parity-packed conv as f32 (G*HS*WS, 256)."""
+    Returns the parity-packed conv as f32 (G*HS*WS, 256).
+
+    im2col formulation: lane-concatenate the 9 shifted taps into (R, 432) and
+    run ONE K=432 matmul. Nine separate K=48 matmuls leave 80 of the MXU's 128
+    K-rows idle; measured 5.75 -> 3.55 ms isolated at flagship stem geometry
+    (1.62x, .bench/bench_im2col.py). The wgrad keeps the per-tap form — the
+    batched-taps wgrad measured SLOWER there (0.89x)."""
     R = G * HS * WS
-    acc = jnp.zeros((R, 256), jnp.float32)
-    for t, (dy, dx) in enumerate(_OFFS):
-        tap = x4p[:, 1 + dy : 1 + dy + HS, 1 + dx : 1 + dx + WS, :].reshape(R, 48)
-        acc = acc + jnp.dot(tap, w[t], preferred_element_type=jnp.float32)
-    return acc
+    cat = jnp.concatenate(
+        [
+            x4p[:, 1 + dy : 1 + dy + HS, 1 + dx : 1 + dx + WS, :].reshape(R, 48)
+            for dy, dx in _OFFS
+        ],
+        axis=-1,
+    )  # (R, 9*48) — tap-major, matching w.reshape(432, 256) row order
+    return jnp.dot(cat, w.reshape(9 * 48, 256), preferred_element_type=jnp.float32)
 
 
 def _pool_terms(yg_p, HS, WS):
