@@ -46,6 +46,11 @@ class NCameraCNNConfig:
     # exact MXU-friendly rewrite of the stem conv (see models/resnet.py); changes
     # the param tree (conv_init -> conv_init_s2d) but not the function computed
     stem_space_to_depth: bool = False
+    # freeze the stem (conv_init + norm_init) in fine-tune: drops the whole
+    # stem backward (~6.4 ms of the 82 ms flagship step, ~70% of it maxpool
+    # cotangent routing); pretrained first-conv features are generic. See
+    # models/resnet.py stem_frozen + the convergence A/B in ROUND3_NOTES.
+    stem_frozen: bool = False
     # HBM-lean BatchNorm training (ops/norm.py): stride-s H-subsampled batch stats /
     # dgamma-dbeta estimates. 1 = exact flax/torch BN semantics. The train-step
     # profile is BN-reduction-bound (CLAUDE.md); stride 4 cuts those HBM reads 4x
@@ -134,6 +139,7 @@ class NCameraCNN(nn.Module):
             output_dim=cfg.resnet_output_dim,
             dtype=dtype,
             stem_space_to_depth=cfg.stem_space_to_depth,
+            stem_frozen=cfg.stem_frozen,
             bn_stats_stride=cfg.bn_stats_stride,
             bn_grad_stride=cfg.bn_grad_stride,
             bn_impl=cfg.bn_impl,

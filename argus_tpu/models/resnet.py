@@ -456,6 +456,14 @@ class ResNet(nn.Module):
     bn_stats_stride: int = 1
     bn_grad_stride: int = 1
     bn_impl: str = "xla"  # "xla" | "pallas" | "auto" (pallas reduce kernels on TPU)
+    # frozen-STEM fine-tune mode: stop gradients at the stem output, freezing
+    # conv_init (+ the already-frozen norm_init). The stem is <2.5% of model
+    # FLOPs but its backward costs 6.4 ms of the 82 ms flagship step — and of
+    # that, ~70% is maxpool cotangent ROUTING, not wgrad math
+    # (.bench/bench_stem_bwd.py decomposition: pool routing ~4.6 ms, wgrad
+    # matmuls ~1.35 ms). ImageNet-pretrained first-conv features (edge/color
+    # filters) are generic; convergence A/B in docs/ROUND3_NOTES.md.
+    stem_frozen: bool = False
     # frozen-BN fine-tune mode: normalize with running stats even when train=True
     # (torchvision FrozenBatchNorm2d semantics; see models/pose_cnn.py rationale)
     bn_frozen: bool = False
@@ -553,6 +561,12 @@ class ResNet(nn.Module):
             x = norm(name="norm_init")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem_frozen:
+            # freeze conv_init/norm_init: the whole stem backward (wgrad +
+            # maxpool cotangent routing) drops out of the step. Running-stat
+            # updates (exact-BN mode) are state mutations, not gradients, and
+            # are unaffected.
+            x = jax.lax.stop_gradient(x)
 
         fuse_pw = (
             self.block_cls is BottleneckBlock

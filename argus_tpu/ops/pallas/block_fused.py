@@ -31,6 +31,7 @@ select — masks are computed as f32 0/1 factors.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -53,7 +54,7 @@ def _relu_mask_mul(v, ref_vals):
 def _conv3x3_shifted(h1, w2_ref, G, H, W, F):
     """3x3 'SAME' conv of (G*H*W, F) rows as nine shifted MXU matmuls over a
     per-image zero-padded copy; f32 accumulator. G images share the grid step so
-    deep stages (8x8 = 64 rows/image) still fill the MXU (VERDICT r2 #1)."""
+    deep stages (stage 3: 8x8 = 64 rows/image) still fill the MXU (VERDICT r2 #1)."""
     padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
     h2 = jnp.zeros((G * H * W, F), jnp.float32)
     for ky in range(3):
@@ -63,18 +64,207 @@ def _conv3x3_shifted(h1, w2_ref, G, H, W, F):
     return h2, padded
 
 
+# ─────────────────────── pair-packed conv2 (F < 128) ───────────────────────
+#
+# At stage-0 geometry (F = 64) the shifted form issues K=64/N=64 matmuls that
+# the v5e MXU runs at ~17-19 TF/s — the 128x128 array is 3/4 idle. Packing two
+# adjacent COLUMNS into one row of 2F = 128 channels makes every conv2 matmul
+# (rows/2, 128) @ (128, 128): 2x the raw FLOPs (half the packed weight blocks
+# are structural zeros) at ~6x the issue rate — measured 4.69 -> 2.13 ms
+# isolated at stage-0 conv2 geometry (.bench/bench_mxu_inkernel.py). Mosaic
+# rejects the lane-merging (R,64)->(R/2,128) shape cast, so the repack is a
+# sublane-split reshape + lane concat, and the parity crossover between the
+# two packed columns lives entirely in the (2F, 2F) weight blocks.
+#
+# Layout: packed[h, j, q*F + c] = orig[h, 2j + q, c].  A 3x3 conv becomes a
+# 3x3 conv over packed blocks with W2p[ky, b][(q,ci), (p,co)] = w2[ky, dx]
+# where dx = 2b + q - p when |dx| <= 1, else zero: for output parity p and
+# original tap dx, the source column 2j+p+dx lands in packed block j+b,
+# parity q, with b = floor((p+dx)/2), q = (p+dx) mod 2 — unique per (p, dx).
+# Edge blocks are exact: out-of-range original columns are covered either by
+# the packed zero padding (one block per side) or by a structural zero weight.
+
+
+_PACK_IMPL = os.environ.get("ARGUS_PACK2_IMPL", "reshape")
+
+
+def _pack_pair_rows(v, C):
+    """(R, C) rows in W-fastest order -> (R//2, 2C): adjacent column pairs
+    side by side in lanes. W must be even so pairs never straddle rows.
+
+    Default form: the row-major layout identity (R, C) == (R/2, 2, C) ==
+    (R/2, 2C) as a rank-keeping reshape chain — Mosaic accepts merged lane
+    views up to 1024 lanes when a spatial dim is kept (the same identity
+    proj_fused's stride-2 taps ride); the direct 2D (R, C) -> (R/2, 2C)
+    shape cast is rejected. ARGUS_PACK2_IMPL=concat selects the explicit
+    slice+lane-concat fallback."""
+    R = v.shape[0]
+    a = v.reshape(R // 2, 2, C)
+    if _PACK_IMPL == "reshape":
+        return a.reshape(R // 2, 2 * C)
+    return jnp.concatenate([a[:, 0, :], a[:, 1, :]], axis=-1)
+
+
+def _unpack_pair_rows(vp, C):
+    """Inverse of _pack_pair_rows: (R//2, 2C) -> (R, C)."""
+    Rh = vp.shape[0]
+    if _PACK_IMPL == "reshape":
+        return vp.reshape(Rh, 2, C).reshape(2 * Rh, C)
+    a = jnp.stack([vp[:, :C], vp[:, C:]], axis=1)  # (R//2, 2, C)
+    return a.reshape(2 * Rh, C)
+
+
+def pack_w2_pairs(w2):
+    """(3, 3, F, F) conv kernel -> (9, 2F, 2F) pair-packed weights, tap index
+    t = 3*ky + b with block-column offset b-1. Plain jnp (static slices and
+    concats), differentiable; runs OUTSIDE the kernels."""
+    F = w2.shape[-1]
+    zeros = jnp.zeros((F, F), w2.dtype)
+    taps = []
+    for ky in range(3):
+        for b in (-1, 0, 1):
+            blocks = [[zeros, zeros], [zeros, zeros]]  # [q][p]
+            for q in (0, 1):
+                for p in (0, 1):
+                    dx = 2 * b + q - p
+                    if -1 <= dx <= 1:
+                        blocks[q][p] = w2[ky, dx + 1]
+            taps.append(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate([blocks[0][0], blocks[0][1]], axis=1),
+                        jnp.concatenate([blocks[1][0], blocks[1][1]], axis=1),
+                    ],
+                    axis=0,
+                )
+            )
+    return jnp.stack(taps)  # (9, 2F, 2F)
+
+
+def unpack_dw2_pairs(dW2p, F):
+    """Route a pair-packed weight-grad (9, 2F, 2F) back to (3, 3, F, F): the
+    transpose of pack_w2_pairs — each original tap's grad is the sum of the
+    two packed blocks (p = 0, 1) that carried it."""
+    rows = []
+    for ky in range(3):
+        row = []
+        for dxi in range(3):
+            acc = None
+            for b in (-1, 0, 1):
+                for q in (0, 1):
+                    for p in (0, 1):
+                        if 2 * b + q - p == dxi - 1:
+                            blk = dW2p[3 * ky + b + 1, q * F : (q + 1) * F, p * F : (p + 1) * F]
+                            acc = blk if acc is None else acc + blk
+            row.append(acc)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _conv3x3_packed(h1p, w2p_ref, G, H, Wp, F2):
+    """3x3 conv in pair-packed space: (G*H*Wp, F2=2F) rows, w2p (9, 2F, 2F).
+    Returns f32 (G*H*Wp, F2)."""
+    padded = jnp.pad(h1p.reshape(G, H, Wp, F2), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((G * H * Wp, F2), jnp.float32)
+    for ky in range(3):
+        for b in range(3):
+            tap = padded[:, ky : ky + H, b : b + Wp].reshape(G * H * Wp, F2)
+            acc = acc + jnp.dot(tap, w2p_ref[3 * ky + b], preferred_element_type=jnp.float32)
+    return acc, padded
+
+
+def _flip_transpose_w2(w2):
+    """w2'[ky, kx] = w2[2-ky, 2-kx]^T — the kernel whose forward conv equals
+    conv2's input-gradient (transposed conv)."""
+    return w2[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+def _pair_packed(F, W):
+    """Packed conv2 applies where the native F underfills the MXU and columns
+    pair cleanly.
+
+    DEFAULT OFF (negative result, docs/ROUND3_NOTES.md): the packed form wins
+    2.2x in an isolated probe with a pre-packed HBM layout, but Mosaic only
+    lane-regroups WHOLE 128-lane tiles — every in-kernel route from 64-lane
+    h1 to the 128-lane packed form (2D/4D/5D reshape, stack, interleave) is
+    rejected with 'unsupported shape cast' (.bench/probe_reshapes*.py,
+    probe_pack5.py, probe_unpack.py; the accepted proj_fused stride-2 views
+    all have F >= 128), except an explicit lane concat whose shuffle cost and
+    full-tile-only unpack erase the win. The math stays (exercised in
+    interpret-mode tests); ARGUS_PACK2=1 re-enables for experiments."""
+    return os.environ.get("ARGUS_PACK2", "0") == "1" and F < 128 and W % 2 == 0
+
+
+def _conv2_relu(h1, w2_ref, b2_ref, G, H, W, F, packed):
+    """conv2 + bias + relu, dispatching between the shifted and pair-packed
+    forms; returns (R, F) in h1's dtype."""
+    dt = h1.dtype
+    if packed:
+        h1p = _pack_pair_rows(h1, F)
+        h2p, _ = _conv3x3_packed(h1p, w2_ref, G, H, W // 2, 2 * F)
+        b2p = jnp.concatenate([b2_ref[...], b2_ref[...]], axis=-1).astype(jnp.float32)
+        h2p = jnp.maximum(h2p + b2p, 0.0).astype(dt)
+        return _unpack_pair_rows(h2p, F)
+    h2, _ = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
+    return jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(dt)
+
+
+def _conv2_grads(h1, m2, w2_ref, a2_ref, G, H, W, F, packed):
+    """conv2's weight-grad (accumulated into a2_ref) and input-grad (returned,
+    f32 (R, F)). In packed mode w2_ref holds the PAIR-PACKED FLIP-TRANSPOSED
+    weights (9, 2F, 2F) — the input-grad is then a plain packed conv — and
+    a2_ref accumulates the packed weight-grad (9, 2F, 2F), routed back to
+    (3, 3, F, F) by unpack_dw2_pairs outside the kernel."""
+    R = G * H * W
+    if packed:
+        Wp, F2 = W // 2, 2 * F
+        h1p = _pack_pair_rows(h1, F)
+        m2p = _pack_pair_rows(m2, F)
+        dh1p, _ = _conv3x3_packed(m2p, w2_ref, G, H, Wp, F2)
+        h1pp = jnp.pad(h1p.reshape(G, H, Wp, F2), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for ky in range(3):
+            for b in range(3):
+                tap = h1pp[:, ky : ky + H, b : b + Wp].reshape(R // 2, F2)
+                a2_ref[3 * ky + b] += jax.lax.dot_general(
+                    tap, m2p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+        return _unpack_pair_rows(dh1p, F)
+    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dh1 = jnp.zeros((R, F), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
+            a2_ref[ky, kx] += jax.lax.dot_general(
+                h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
+            dh1 = dh1 + jax.lax.dot_general(
+                m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    return dh1
+
+
 def _fwd_kernel(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, G, H, W, CIN, F
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
+    *, G, H, W, CIN, F, packed=False,
 ):
     COUT = CIN
     x = x_ref[...].reshape(G * H * W, CIN)
     h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
-    h2, _ = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
-    h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h2 = _conv2_relu(h1, w2_ref, b2_ref, G, H, W, F, packed)
     y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
     y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)  # identity residual
     out_ref[...] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(G, H, W, COUT)
+
+
+def _w2_operand(w2, F, W):
+    """(w2 operand, its BlockSpec, packed flag) for the forward kernels."""
+    if _pair_packed(F, W):
+        return pack_w2_pairs(w2), pl.BlockSpec((9, 2 * F, 2 * F), lambda i: (0, 0, 0)), True
+    return w2, pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)), False
 
 
 def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
@@ -82,7 +272,8 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
     F = w1.shape[1]
     G = g
     assert N % G == 0, (N, G)
-    kernel = functools.partial(_fwd_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
+    w2op, w2spec, packed = _w2_operand(w2, F, W)
+    kernel = functools.partial(_fwd_kernel, G=G, H=H, W=W, CIN=CIN, F=F, packed=packed)
     return pl.pallas_call(
         kernel,
         grid=(N // G,),
@@ -90,7 +281,7 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
             pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            w2spec,
             pl.BlockSpec((1, F), lambda i: (0, 0)),
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
             pl.BlockSpec((1, CIN), lambda i: (0, 0)),
@@ -99,7 +290,7 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
         out_shape=jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x, w1, b1, w2, b2, w3, b3)
+    )(x, w1, b1, w2op, b2, w3, b3)
 
 
 # ────────────────────── forward with saved residuals ──────────────────────
@@ -107,14 +298,13 @@ def _block_fwd_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 1):
 
 def _fwd_save_kernel(
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, h1_ref, h2_ref,
-    *, G, H, W, CIN, F,
+    *, G, H, W, CIN, F, packed=False,
 ):
     x = x_ref[...].reshape(G * H * W, CIN)
     h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
     h1_ref[...] = h1.reshape(G, H, W, F)
-    h2, _ = _conv3x3_shifted(h1, w2_ref, G, H, W, F)
-    h2 = jnp.maximum(h2 + b2_ref[...].astype(jnp.float32), 0.0).astype(x.dtype)
+    h2 = _conv2_relu(h1, w2_ref, b2_ref, G, H, W, F, packed)
     h2_ref[...] = h2.reshape(G, H, W, F)
     y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
     y = y + b3_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
@@ -126,7 +316,10 @@ def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 
     F = w1.shape[1]
     G = g
     assert N % G == 0, (N, G)
-    kernel = functools.partial(_fwd_save_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
+    w2op, w2spec, packed = _w2_operand(w2, F, W)
+    kernel = functools.partial(
+        _fwd_save_kernel, G=G, H=H, W=W, CIN=CIN, F=F, packed=packed
+    )
     return pl.pallas_call(
         kernel,
         grid=(N // G,),
@@ -134,7 +327,7 @@ def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 
             pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
             pl.BlockSpec((1, F), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            w2spec,
             pl.BlockSpec((1, F), lambda i: (0, 0)),
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
             pl.BlockSpec((1, CIN), lambda i: (0, 0)),
@@ -151,13 +344,13 @@ def _block_fwd_save_pallas(x, w1, b1, w2, b2, w3, b3, interpret: bool, g: int = 
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x, w1, b1, w2, b2, w3, b3)
+    )(x, w1, b1, w2op, b2, w3, b3)
 
 
 def _bwd_saved_kernel(
     x_ref, g_ref, out_ref, h1_ref, h2_ref, w1_ref, w2_ref, w3_ref,
     dx_ref, dw1_ref, dw2_ref, dw3_ref,
-    a1_ref, a2_ref, a3_ref, *, G, H, W, CIN, F,
+    a1_ref, a2_ref, a3_ref, *, G, H, W, CIN, F, packed=False,
 ):
     i = pl.program_id(0)
 
@@ -181,20 +374,7 @@ def _bwd_saved_kernel(
         h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m2 = _relu_mask_mul(dh2.astype(dt), h2)
-    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dh1 = jnp.zeros((R, F), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
-            a2_ref[ky, kx] += jax.lax.dot_general(
-                h1_shift, m2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
-            dh1 = dh1 + jax.lax.dot_general(
-                m2_shift, w2_ref[ky, kx], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    dh1 = _conv2_grads(h1, m2, w2_ref, a2_ref, G, H, W, F, packed)
     m1 = _relu_mask_mul(dh1.astype(dt), h1)
     dx = jax.lax.dot_general(
         m1, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -212,11 +392,27 @@ def _bwd_saved_kernel(
 
 
 def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool, gsz: int = 1):
+    """Returns (dx, dw1, dw2, dw3); in packed mode dw2 comes back PAIR-PACKED
+    (9, 2F, 2F) — the caller routes it through unpack_dw2_pairs."""
     N, H, W, CIN = x.shape
     F = w1.shape[1]
     G = gsz
     assert N % G == 0, (N, G)
-    kernel = functools.partial(_bwd_saved_kernel, G=G, H=H, W=W, CIN=CIN, F=F)
+    packed = _pair_packed(F, W)
+    if packed:
+        # dgrad = plain packed conv with the flip-transposed kernel
+        w2op = pack_w2_pairs(_flip_transpose_w2(w2))
+        w2spec = pl.BlockSpec((9, 2 * F, 2 * F), lambda i: (0, 0, 0))
+        dw2_shape = (9, 2 * F, 2 * F)
+        dw2_spec = pl.BlockSpec(dw2_shape, lambda i: (0, 0, 0))
+    else:
+        w2op = w2
+        w2spec = pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0))
+        dw2_shape = (3, 3, F, F)
+        dw2_spec = pl.BlockSpec(dw2_shape, lambda i: (0, 0, 0, 0))
+    kernel = functools.partial(
+        _bwd_saved_kernel, G=G, H=H, W=W, CIN=CIN, F=F, packed=packed
+    )
     return pl.pallas_call(
         kernel,
         grid=(N // G,),
@@ -227,29 +423,29 @@ def _block_bwd_saved_pallas(x, g, out, h1, h2, w1, w2, w3, interpret: bool, gsz:
             pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((G, H, W, F), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            w2spec,
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((G, H, W, CIN), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((CIN, F), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, F, F), lambda i: (0, 0, 0, 0)),
+            dw2_spec,
             pl.BlockSpec((F, CIN), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, W, CIN), x.dtype),
             jax.ShapeDtypeStruct((CIN, F), jnp.float32),
-            jax.ShapeDtypeStruct((3, 3, F, F), jnp.float32),
+            jax.ShapeDtypeStruct(dw2_shape, jnp.float32),
             jax.ShapeDtypeStruct((F, CIN), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((CIN, F), jnp.float32),
-            pltpu.VMEM((3, 3, F, F), jnp.float32),
+            pltpu.VMEM(dw2_shape, jnp.float32),
             pltpu.VMEM((F, CIN), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x, g, out, h1, h2, w1, w2, w3)
+    )(x, g, out, h1, h2, w1, w2op, w3)
 
 
 # ───────────────────────────────── backward ─────────────────────────────────
@@ -511,6 +707,8 @@ def _block_saved_bwd(impl, interpret, gsz, resids, g):
         dx, dw1, dw2, dw3 = _block_bwd_saved_pallas(
             x, g, out, h1, h2, w1, w2, w3, _interp(interpret), gsz=gsz
         )
+        if dw2.ndim == 3:  # pair-packed (9, 2F, 2F) weight-grad
+            dw2 = unpack_dw2_pairs(dw2, w2.shape[-1])
         zb = lambda b: jnp.zeros_like(b)
         return (dx, dw1.astype(w1.dtype), zb(b1), dw2.astype(w2.dtype), zb(b2),
                 dw3.astype(w3.dtype), zb(b3))

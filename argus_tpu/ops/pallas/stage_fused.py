@@ -42,10 +42,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from argus_tpu.ops.pallas.block_fused import (
+    _conv2_relu,
+    _conv3x3_packed,
     _conv3x3_shifted,
+    _flip_transpose_w2,
     _interp,
+    _pack_pair_rows,
+    _pair_packed,
     _relu_mask_mul,
+    _unpack_pair_rows,
     _use_pallas,
+    pack_w2_pairs,
+    unpack_dw2_pairs,
 )
 from argus_tpu.ops.pallas.proj_fused import (
     _dh1_scatter,
@@ -63,22 +71,25 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 # (block_fused._fwd_save_kernel / _bwd_saved_kernel, proj_fused counterparts).
 
 
-def _id_fwd_core(x4, w1, b1, w2, b2, w3, b3, G, H, W, CIN, F):
+def _id_fwd_core(x4, w1, b1, w2, b2, w3, b3, G, H, W, CIN, F, packed=False):
     """Identity bottleneck forward on a (G, H, W, CIN) array; returns
-    (out(G,H,W,CIN), h1 2D, h2 2D)."""
+    (out(G,H,W,CIN), h1 2D, h2 2D). `packed`: w2 holds the PAIR-PACKED
+    (9, 2F, 2F) weights (block_fused.pack_w2_pairs)."""
     x = x4.reshape(G * H * W, CIN)
     h1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1.astype(jnp.float32), 0.0).astype(x.dtype)
-    h2, _ = _conv3x3_shifted(h1, w2, G, H, W, F)
-    h2 = jnp.maximum(h2 + b2.astype(jnp.float32), 0.0).astype(x.dtype)
+    # _conv2_relu indexes its operands with [...] / [t] — valid on arrays too
+    h2 = _conv2_relu(h1, w2, b2, G, H, W, F, packed)
     y = jnp.dot(h2, w3, preferred_element_type=jnp.float32)
     y = y + b3.astype(jnp.float32) + x.astype(jnp.float32)
     out = jnp.maximum(y, 0.0).astype(x.dtype).reshape(G, H, W, CIN)
     return out, h1, h2
 
 
-def _id_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, G, H, W, CIN, F):
-    """Identity bottleneck backward; returns (dx(G,H,W,CIN) f32, dw1, dw2, dw3)."""
+def _id_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, G, H, W, CIN, F, packed=False):
+    """Identity bottleneck backward; returns (dx(G,H,W,CIN) f32, dw1, dw2, dw3).
+    `packed`: w2 holds the PAIR-PACKED FLIP-TRANSPOSED (9, 2F, 2F) weights and
+    dw2 comes back pair-packed (9, 2F, 2F) — unpack_dw2_pairs outside."""
     dt = x4.dtype
     R = G * H * W
     x = x4.reshape(R, CIN)
@@ -93,26 +104,45 @@ def _id_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, G, H, W, CIN, F):
         h2, m3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m2 = _relu_mask_mul(dh2.astype(dt), h2)
-    padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dh1 = jnp.zeros((R, F), jnp.float32)
-    dw2 = []
-    for ky in range(3):
-        row = []
-        for kx in range(3):
-            h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
-            row.append(
+    if packed:
+        Wp, F2 = W // 2, 2 * F
+        h1p = _pack_pair_rows(h1, F)
+        m2p = _pack_pair_rows(m2, F)
+        dh1p, _ = _conv3x3_packed(m2p, w2, G, H, Wp, F2)
+        dh1 = _unpack_pair_rows(dh1p, F)
+        h1pp = jnp.pad(h1p.reshape(G, H, Wp, F2), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dw2 = jnp.stack(
+            [
                 jax.lax.dot_general(
-                    h1_shift, m2, (((0,), (0,)), ((), ())),
+                    h1pp[:, ky : ky + H, b : b + Wp].reshape(R // 2, F2), m2p,
+                    (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                for ky in range(3)
+                for b in range(3)
+            ]
+        )  # (9, 2F, 2F) pair-packed
+    else:
+        padded = jnp.pad(h1.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        m2_padded = jnp.pad(m2.reshape(G, H, W, F), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dh1 = jnp.zeros((R, F), jnp.float32)
+        dw2 = []
+        for ky in range(3):
+            row = []
+            for kx in range(3):
+                h1_shift = padded[:, ky : ky + H, kx : kx + W].reshape(R, F)
+                row.append(
+                    jax.lax.dot_general(
+                        h1_shift, m2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
+                dh1 = dh1 + jax.lax.dot_general(
+                    m2_shift, w2[ky, kx], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            )
-            m2_shift = m2_padded[:, 2 - ky : 2 - ky + H, 2 - kx : 2 - kx + W].reshape(R, F)
-            dh1 = dh1 + jax.lax.dot_general(
-                m2_shift, w2[ky, kx], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dw2.append(row)
+            dw2.append(row)
+        dw2 = jnp.stack([jnp.stack(row) for row in dw2])  # (3, 3, F, F)
     m1 = _relu_mask_mul(dh1.astype(dt), h1)
     dx = jax.lax.dot_general(
         m1, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -121,7 +151,6 @@ def _id_bwd_core(x4, g4, out4, h1_2d, h2_2d, w1, w2, w3, G, H, W, CIN, F):
         x, m1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dx = (dx + m3.astype(jnp.float32)).reshape(G, H, W, CIN)
-    dw2 = jnp.stack([jnp.stack(row) for row in dw2])  # (3, 3, F, F)
     return dx, dw1, dw2, dw3
 
 
@@ -202,7 +231,7 @@ def _chain_geometry(has_proj, H, W, S):
     return H, W
 
 
-def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
+def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save, packed=False):
     Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
 
@@ -232,7 +261,7 @@ def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
         for j in range(K):
             cur, h1, h2 = _id_fwd_core(
                 cur, idw[j][0][...], idw[j][1][...], idw[j][2], idw[j][3][...],
-                idw[j][4][...], idw[j][5][...], G, Ho, Wo, COUT, F,
+                idw[j][4][...], idw[j][5][...], G, Ho, Wo, COUT, F, packed=packed,
             )
             if save:
                 h_refs[b][0][...] = h1.reshape(G, Ho, Wo, F)
@@ -245,7 +274,7 @@ def _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save):
     return kernel
 
 
-def _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S):
+def _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, packed=False):
     Ho, Wo = _chain_geometry(has_proj, H, W, S)
     nblocks = (1 if has_proj else 0) + K
     n_dw = (4 if has_proj else 0) + 3 * K
@@ -280,6 +309,7 @@ def _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S):
             dx, dw1, dw2, dw3 = _id_bwd_core(
                 x_b, g, out_b, h_refs[b][0][...], h_refs[b][1][...],
                 idw[j][0][...], idw[j][1], idw[j][2][...], G, Ho, Wo, COUT, F,
+                packed=packed,
             )
             base = (4 if has_proj else 0) + 3 * j
             a_refs[base][:] += dw1
@@ -316,6 +346,8 @@ def _w_spec(shape):
     nd = len(shape)
     if nd == 2:
         return pl.BlockSpec(shape, lambda i: (0, 0))
+    if nd == 3:  # pair-packed (9, 2F, 2F) conv2 weights
+        return pl.BlockSpec(shape, lambda i: (0, 0, 0))
     return pl.BlockSpec(shape, lambda i: (0, 0, 0, 0))
 
 
@@ -323,8 +355,9 @@ def _proj_w_shapes(CIN, F, COUT):
     return [(CIN, F), (1, F), (3, 3, F, F), (1, F), (F, COUT), (1, COUT), (CIN, COUT), (1, COUT)]
 
 
-def _id_w_shapes(C, F):
-    return [(C, F), (1, F), (3, 3, F, F), (1, F), (F, C), (1, C)]
+def _id_w_shapes(C, F, packed=False):
+    w2s = (9, 2 * F, 2 * F) if packed else (3, 3, F, F)
+    return [(C, F), (1, F), w2s, (1, F), (F, C), (1, C)]
 
 
 def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
@@ -337,14 +370,19 @@ def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
     nblocks = (1 if has_proj else 0) + K
     dt = x.dtype
 
+    packed = _pair_packed(F, Wo)
     in_specs = [_img_spec(G, H, W, CIN)]
     operands = [x]
     if has_proj:
         in_specs += [_w_spec(s) for s in _proj_w_shapes(CIN, F, COUT)]
         operands += list(pw)
     for idw in idws:
-        in_specs += [_w_spec(s) for s in _id_w_shapes(COUT, F)]
-        operands += list(idw)
+        in_specs += [_w_spec(s) for s in _id_w_shapes(COUT, F, packed)]
+        operands += [
+            idw[0], idw[1],
+            pack_w2_pairs(idw[2]) if packed else idw[2],
+            idw[3], idw[4], idw[5],
+        ]
 
     out_specs = [_img_spec(G, Ho, Wo, COUT)]
     out_shape = [jax.ShapeDtypeStruct((N, Ho, Wo, COUT), dt)]
@@ -360,7 +398,7 @@ def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
                 jax.ShapeDtypeStruct((N, Ho, Wo, F), dt),
             ]
 
-    kernel = _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save)
+    kernel = _make_fwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, save, packed)
     outs = pl.pallas_call(
         kernel,
         grid=(N // G,),
@@ -396,16 +434,24 @@ def _chain_bwd_pallas(x, g, out, bnds, h1s, h2s, pw, idws, S, interpret, G):
         h1_hw = (H, W) if (has_proj and b == 0) else (Ho, Wo)
         in_specs += [_img_spec(G, *h1_hw, F), _img_spec(G, Ho, Wo, F)]
         operands += [h1s[b], h2s[b]]
+    packed = _pair_packed(F, Wo)
     dw_shapes = []
     if has_proj:
         shapes = [(CIN, F), (3, 3, F, F), (F, COUT), (CIN, COUT)]
         in_specs += [_w_spec(s) for s in shapes]
         operands += list(pw)
         dw_shapes += shapes
+    id_w2s = (9, 2 * F, 2 * F) if packed else (3, 3, F, F)
     for idw in idws:
-        shapes = [(COUT, F), (3, 3, F, F), (F, COUT)]
+        shapes = [(COUT, F), id_w2s, (F, COUT)]
         in_specs += [_w_spec(s) for s in shapes]
-        operands += list(idw)
+        # packed: the conv2 operand is the pair-packed FLIP-TRANSPOSED kernel
+        # (the input-grad is then a plain packed conv); wgrad needs no weights
+        operands += [
+            idw[0],
+            pack_w2_pairs(_flip_transpose_w2(idw[1])) if packed else idw[1],
+            idw[2],
+        ]
         dw_shapes += shapes
 
     out_specs = [_img_spec(G, H, W, CIN)] + [_w_spec(s) for s in dw_shapes]
@@ -414,7 +460,7 @@ def _chain_bwd_pallas(x, g, out, bnds, h1s, h2s, pw, idws, S, interpret, G):
     ]
     scratch = [pltpu.VMEM(s, jnp.float32) for s in dw_shapes]
 
-    kernel = _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S)
+    kernel = _make_bwd_kernel(has_proj, K, G, H, W, CIN, F, COUT, S, packed)
     return pl.pallas_call(
         kernel,
         grid=(N // G,),
@@ -493,6 +539,8 @@ def _stage_chain_bwd(S, impl, interpret, gsz, resids, g):
         )
         dx = grads[0]
         dws = list(grads[1:])
+        F = (pw[0] if has_proj else idws[0][0]).shape[1]
+        dws = [unpack_dw2_pairs(d, F) if d.ndim == 3 else d for d in dws]
     else:
         def f(xv, pwv, idwsv):
             return _xla_chain(xv, pwv, idwsv, S)

@@ -35,6 +35,31 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 1000.0  # estimated reference A100 throughput (see docstring)
 
 
+def _analytic_step_flops(n_images, hw, stem_frozen=False):
+    """Training-step FLOPs of the flagship ResNet-50 backbone from the
+    architecture. Needed because the fused backbone is Pallas custom calls,
+    which XLA's cost analysis scores as ~0 FLOPs — the compiled-program count
+    silently dropped to the augmentation+optimizer residue once fusion became
+    the default. Convs: fwd x3 for fwd+dgrad+wgrad, stem x2 (images carry no
+    gradient). Head/loss/augment are <1% and ignored. Cross-check: at 256x256
+    this gives 8.12e12 for 256 images vs 7.93e12 measured by XLA cost analysis
+    on the unfused round-2 step (within 2.5%; MFU 0.39 at 103.3 ms, BENCH_r02)."""
+    H, W = hw
+    stem_fwd = (H // 2) * (W // 2) * 49 * 3 * 64 * 2
+    total = stem_fwd if stem_frozen else 2 * stem_fwd  # wgrad only (no image grad)
+    cin = 64
+    r = (H // 4) * (W // 4)
+    for s, (k, F) in enumerate([(3, 64), (4, 128), (6, 256), (3, 512)]):
+        cout = 4 * F
+        r_out = r if s == 0 else r // 4
+        # projection entry (stride on the 3x3, torchvision v1.5) + identity blocks
+        proj_fwd = 2 * (r * cin * F + r_out * 9 * F * F + r_out * F * cout + r_out * cin * cout)
+        id_fwd = 2 * (k - 1) * (r_out * cout * F + r_out * 9 * F * F + r_out * F * cout)
+        total += 3 * (proj_fwd + id_fwd)
+        cin, r = cout, r_out
+    return float(total) * n_images
+
+
 def _bench_e2e(jax, jnp, train_step, state, batch_size, hw, n_steps=12):
     """End-to-end training throughput through the REAL input pipeline
     (VERDICT r2 #2): on-disk PNG dataset -> native libpng decoder ->
@@ -206,6 +231,9 @@ def main() -> None:
     # is the model default ("auto" = on under TPU); BENCH_FUSE=off benches the
     # pure-XLA step for comparison (103.3 vs 90.6 ms/step, docs/ROUND3_NOTES.md).
     fuse = "off" if os.environ.get("BENCH_FUSE", "auto") == "off" else "auto"
+    # BENCH_STEM=frozen benches the frozen-stem fine-tune (stop-gradient at the
+    # stem output — drops the stem backward; models/resnet.py stem_frozen)
+    stem_frozen = os.environ.get("BENCH_STEM", "") == "frozen"
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2,
@@ -213,6 +241,7 @@ def main() -> None:
             resnet_output_dim=1024,
             bn_frozen=bn_mode.startswith("frozen"),
             bn_frozen_affine=(bn_mode == "frozen"),
+            stem_frozen=stem_frozen,
             fuse_block=fuse,
             fuse_proj=fuse,
             fuse_stem=fuse,
@@ -249,6 +278,14 @@ def main() -> None:
         step_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception:
         pass
+    # Pallas custom calls are invisible to the XLA cost analysis; once the
+    # fused backbone became the default the compiled-program count collapsed
+    # to the augmentation/optimizer residue. Detect that and switch to the
+    # architecture-derived count (bytes stay None — no honest number exists).
+    analytic = _analytic_step_flops(2 * batch_size, hw, stem_frozen)
+    if step_flops is None or step_flops < 0.5 * analytic:
+        step_flops = analytic
+        step_bytes = None
     state, loss = train_step(state, batch)
     float(loss)
     t0 = time.perf_counter()
@@ -268,6 +305,14 @@ def main() -> None:
             e2e_extras = {"error": f"{type(e).__name__}: {e}"}
 
     # ── single-frame inference latency (compiled images -> SE(3) pose) ──
+    # Serving-shaped program: the fused training kernels lose at batch 1 (a
+    # 2-image Pallas grid amortizes nothing), so inference compiles the
+    # pure-XLA backbone — the same config serve.Estimator deploys. The fuse
+    # options are variable-tree-neutral, so the trained state drops in.
+    from argus_tpu.models import NCameraCNN
+    from argus_tpu.serve import latency_tuned_config
+
+    model = NCameraCNN(latency_tuned_config(cfg.model_config))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     # Per-call host timing would measure the harness's remote-TPU tunnel RTT

@@ -98,10 +98,12 @@ def run(cfg: ABConfig) -> dict:
     ev_poses = jnp.asarray(poses[:64])
 
     def make(mode):
+        frozen = mode in ("frozen", "frozenstem")
         tc = TrainConfig(
             model_config=NCameraCNNConfig(
                 n_cams=2, backbone="resnet50", resnet_output_dim=1024,
-                bn_frozen=(mode == "frozen"), bn_frozen_affine=(mode == "frozen"),
+                bn_frozen=frozen, bn_frozen_affine=frozen,
+                stem_frozen=(mode == "frozenstem"),
             ),
             use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
         )
@@ -170,7 +172,10 @@ def run(cfg: ABConfig) -> dict:
 
     # 2. branch fine-tunes from the SAME snapshot, fresh optimizer state. The
     #    train step donates its input, so each arm gets a deep copy.
-    for mode in ("exact", "frozen"):
+    # "frozenstem" = frozen BN + frozen stem (stop-gradient at the stem output;
+    # models/resnet.py stem_frozen) — the candidate flagship default: drops the
+    # whole stem backward (~6.4 ms of the 82 ms step)
+    for mode in ("exact", "frozen", "frozenstem"):
         tc_m, model_m, _, step_m = make(mode)
         tx = make_optimizer(tc_m.max_grad_norm)
         snap = jax.tree_util.tree_map(jnp.copy, state_pre)

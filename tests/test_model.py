@@ -136,3 +136,39 @@ def test_remat_matches_no_remat():
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
     for a, b in zip(results[0][1], results[1][1]):
         assert jnp.allclose(a, b, atol=1e-5)
+
+
+def test_stem_frozen_stops_stem_gradients_only():
+    """stem_frozen zeroes conv_init/norm_init gradients, leaves the forward
+    value and every downstream gradient identical (stop_gradient placement:
+    models/resnet.py)."""
+    from argus_tpu.models.resnet import resnet18
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    outs, grads = [], []
+    for frozen in (False, True):
+        m = resnet18(output_dim=8, stem_frozen=frozen)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(p):
+            o = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x, train=False)
+            return jnp.sum(o**2)
+
+        outs.append(float(loss(v["params"])))
+        grads.append(jax.grad(loss)(v["params"]))
+    assert outs[0] == pytest.approx(outs[1], rel=1e-6)
+    g_off, g_on = grads
+    # stem grads vanish
+    assert all(
+        float(jnp.abs(l).max()) == 0.0
+        for l in jax.tree_util.tree_leaves(g_on["conv_init"])
+    )
+    assert all(
+        float(jnp.abs(l).max()) == 0.0
+        for l in jax.tree_util.tree_leaves(g_on["norm_init"])
+    )
+    # a downstream grad is unchanged
+    a = jax.tree_util.tree_leaves(g_off["stage0_block0"])
+    b = jax.tree_util.tree_leaves(g_on["stage0_block0"])
+    for x1, x2 in zip(a, b):
+        assert jnp.allclose(x1, x2, atol=1e-6)
