@@ -37,11 +37,14 @@ else:
             tuple(int(c) for c in stage) if stage not in ("0", "1") else (0,)
         ),
     )
+stem_mode = os.environ.get("BENCH_STEM", "")
 cfg = TrainConfig(
     model_config=NCameraCNNConfig(
         n_cams=2, backbone="resnet50", resnet_output_dim=1024,
         bn_frozen=bn_mode.startswith("frozen"),
         bn_frozen_affine=bn_mode in ("frozen", "frozenaff"),
+        stem_frozen=stem_mode == "frozen",
+        stem_grad_stride=int(stem_mode[4:]) if stem_mode.startswith("grad") else 1,
         **fuse_kw,
     ),
     use_augmentation=True, amp=True, wandb_log=False,

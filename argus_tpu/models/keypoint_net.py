@@ -66,6 +66,8 @@ class CubeKeypointNetConfig:
     # frozen-BN fine-tune mode for the shared encoder (see models/pose_cnn.py)
     bn_frozen: bool = False
     bn_frozen_affine: bool = False
+    # freeze the stem in fine-tune (see models/resnet.py stem_frozen)
+    stem_frozen: bool = False
 
 
 class CubeKeypointNet(nn.Module):
@@ -94,6 +96,7 @@ class CubeKeypointNet(nn.Module):
             dtype=dtype,
             bn_frozen=cfg.bn_frozen,
             bn_frozen_affine=cfg.bn_frozen_affine,
+            stem_frozen=cfg.stem_frozen,
             name="backbone",
         )
         feats = backbone(per_cam, train=train, return_spatial=True)  # (N, H/32, W/32, C')

@@ -51,6 +51,9 @@ class NCameraCNNConfig:
     # cotangent routing); pretrained first-conv features are generic. See
     # models/resnet.py stem_frozen + the convergence A/B in ROUND3_NOTES.
     stem_frozen: bool = False
+    # subsampled stem weight-grad (unbiased, fused-stem path; see
+    # models/resnet.py stem_grad_stride)
+    stem_grad_stride: int = 1
     # HBM-lean BatchNorm training (ops/norm.py): stride-s H-subsampled batch stats /
     # dgamma-dbeta estimates. 1 = exact flax/torch BN semantics. The train-step
     # profile is BN-reduction-bound (CLAUDE.md); stride 4 cuts those HBM reads 4x
@@ -140,6 +143,7 @@ class NCameraCNN(nn.Module):
             dtype=dtype,
             stem_space_to_depth=cfg.stem_space_to_depth,
             stem_frozen=cfg.stem_frozen,
+            stem_grad_stride=cfg.stem_grad_stride,
             bn_stats_stride=cfg.bn_stats_stride,
             bn_grad_stride=cfg.bn_grad_stride,
             bn_impl=cfg.bn_impl,

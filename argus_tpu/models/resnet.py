@@ -464,6 +464,13 @@ class ResNet(nn.Module):
     # matmuls ~1.35 ms). ImageNet-pretrained first-conv features (edge/color
     # filters) are generic; convergence A/B in docs/ROUND3_NOTES.md.
     stem_frozen: bool = False
+    # Subsampled stem weight-grad (fused-stem path only): compute conv_init's
+    # dW on every k-th image of the batch, scaled by k — an unbiased
+    # estimator under shuffling, same design as bn_grad_stride. The stem
+    # backward is ~70% maxpool-cotangent routing for <2.5% of model FLOPs;
+    # the full-accuracy alternative to stem_frozen (which measured -3 deg rot
+    # on the synthetic-pretrain A/B where the stem still needs to learn).
+    stem_grad_stride: int = 1
     # frozen-BN fine-tune mode: normalize with running stats even when train=True
     # (torchvision FrozenBatchNorm2d semantics; see models/pose_cnn.py rationale)
     bn_frozen: bool = False
@@ -549,7 +556,10 @@ class ResNet(nn.Module):
 
             k7 = _Conv7x7Params(self.num_filters, name="conv_init")(x.shape[-1])
             s0, b0, m0, v0 = _FrozenBNParams(name="norm_init")(self.num_filters)
-            x = fused_stem_pool(x, k7, s0, b0, m0, v0, eps=self.norm_eps)
+            x = fused_stem_pool(
+                x, k7, s0, b0, m0, v0, eps=self.norm_eps,
+                grad_stride=self.stem_grad_stride,
+            )
         elif self.stem_space_to_depth:
             x = space_to_depth(x, 2)
             x = conv(

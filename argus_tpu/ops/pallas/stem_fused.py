@@ -243,12 +243,19 @@ def _stem_fwd_save_pallas(x4, w, b, interpret: bool, G: int = 1):
     )(x4, w, b)
 
 
-def _stem_bwd_pallas(x4, g, out, yg, interpret: bool, G: int = 1):
+def _stem_bwd_pallas(x4, g, out, yg, interpret: bool, G: int = 1, n_images=None):
+    """`n_images`: only the first n_images of the batch contribute (the
+    subsampled-wgrad path) — implemented by SHRINKING THE GRID, not slicing
+    the operands: a [::k] (or even [:n]) batch slice of these batch-minor
+    layouts lowers to a while-loop of dynamic-slices that cost more than the
+    saved matmuls (trace outputs/traces/step_grad4: 1.5 ms `while` + 1.25 ms
+    dynamic-slice fusions). The kernel only DMAs blocks the grid touches."""
     N, HS, WS, _ = x4.shape
+    n = N if n_images is None else n_images
     kernel = functools.partial(_stem_bwd_kernel, G=G, HS=HS, WS=WS)
     return pl.pallas_call(
         kernel,
-        grid=(N // G,),
+        grid=(n // G,),
         in_specs=[
             pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((G, HS, WS, 64), lambda i: (i, 0, 0, 0)),
@@ -276,14 +283,14 @@ def _xla_stem_pool(x4, w, b):
 # ─────────────────────────── public op (custom VJP) ───────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _stem_pool(x4, w, b, impl, interpret, gsz=1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _stem_pool(x4, w, b, impl, interpret, gsz=1, grad_stride=1):
     if _use_pallas(impl):
         return _stem_fwd_pallas(x4, w, b, _interp(interpret), gsz)
     return _xla_stem_pool(x4, w, b)
 
 
-def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1):
+def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1, grad_stride=1):
     if _use_pallas(impl):
         # save yg (conv+relu, parity-packed) so the backward skips the conv
         # recompute; the no-save forward stays the primal for eval/inference
@@ -292,14 +299,31 @@ def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1):
     return _xla_stem_pool(x4, w, b), (x4, None, None, w, b)
 
 
-def _stem_pool_bwd(impl, interpret, gsz, resids, g):
+def _stem_pool_bwd(impl, interpret, gsz, grad_stride, resids, g):
+    """Subsampled stem weight-grad (grad_stride > 1): compute dW on the FIRST
+    N/grad_stride images of the batch and scale — the stem backward is ~70%
+    maxpool-cotangent ROUTING for <2.5% of model FLOPs
+    (.bench/bench_stem_bwd.py), and a contiguous-prefix subsample of a
+    SHUFFLED batch is as unbiased as any other (same design as ops/norm.py
+    bn_grad_stride). Implemented grid-side in the Pallas path — operand
+    slicing measured slower than the saved matmuls (see _stem_bwd_pallas)."""
     x4, out, yg, w, b = resids
+    n = x4.shape[0] // grad_stride
     if _use_pallas(impl):
-        dw = _stem_bwd_pallas(x4, g, out, yg, _interp(interpret), gsz)
+        dw = _stem_bwd_pallas(
+            x4, g, out, yg, _interp(interpret), gsz,
+            n_images=None if grad_stride == 1 else n,
+        )
     else:
+        if grad_stride > 1:
+            x4c, gc = x4[:n], g[:n]
+        else:
+            x4c, gc = x4, g
         # autodiff of the fallback, discarding the (unneeded) image gradient
-        _, vjp = jax.vjp(lambda wv: _xla_stem_pool(x4, wv, b), w)
-        (dw,) = vjp(g)
+        _, vjp = jax.vjp(lambda wv: _xla_stem_pool(x4c, wv, b), w)
+        (dw,) = vjp(gc)
+    if grad_stride > 1:
+        dw = dw * float(grad_stride)
     # the image is data (no gradient consumer); the bias is a frozen buffer
     return jnp.zeros_like(x4), dw.astype(w.dtype), jnp.zeros_like(b)
 
@@ -316,6 +340,7 @@ def fused_stem_pool(
     impl: str = "auto",
     interpret: Optional[bool] = None,
     gsz: int = 1,
+    grad_stride: int = 1,
 ) -> jnp.ndarray:
     """Full fused stem: NHWC image (N, H, W, 3) -> (N, H/4, W/4, 64).
 
@@ -332,4 +357,9 @@ def fused_stem_pool(
     s2d = space_to_depth_conv if jax.default_backend() == "tpu" else space_to_depth
     x4 = s2d(x, 4)  # (N, H/4, W/4, 48)
     W, b = pack_stem_weights(k7, scale, bias, mean, var, eps, x.dtype)
-    return _stem_pool(x4, W, b, impl, interpret, gsz)
+    # the subsample must divide the batch (shape-init batches are tiny);
+    # fall back to the exact wgrad otherwise — shapes are static, so this
+    # resolves at trace time
+    if x4.shape[0] % (max(grad_stride, 1) * gsz) != 0:
+        grad_stride = 1
+    return _stem_pool(x4, W, b, impl, interpret, gsz, grad_stride)

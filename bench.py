@@ -35,7 +35,7 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 1000.0  # estimated reference A100 throughput (see docstring)
 
 
-def _analytic_step_flops(n_images, hw, stem_frozen=False):
+def _analytic_step_flops(n_images, hw, stem_frozen=False, stem_grad_stride=1):
     """Training-step FLOPs of the flagship ResNet-50 backbone from the
     architecture. Needed because the fused backbone is Pallas custom calls,
     which XLA's cost analysis scores as ~0 FLOPs — the compiled-program count
@@ -46,7 +46,9 @@ def _analytic_step_flops(n_images, hw, stem_frozen=False):
     on the unfused round-2 step (within 2.5%; MFU 0.39 at 103.3 ms, BENCH_r02)."""
     H, W = hw
     stem_fwd = (H // 2) * (W // 2) * 49 * 3 * 64 * 2
-    total = stem_fwd if stem_frozen else 2 * stem_fwd  # wgrad only (no image grad)
+    # stem backward = wgrad only (images carry no gradient), possibly frozen
+    # or batch-subsampled by stem_grad_stride
+    total = stem_fwd * (1 + (0 if stem_frozen else 1.0 / stem_grad_stride))
     cin = 64
     r = (H // 4) * (W // 4)
     for s, (k, F) in enumerate([(3, 64), (4, 128), (6, 256), (3, 512)]):
@@ -232,8 +234,11 @@ def main() -> None:
     # pure-XLA step for comparison (103.3 vs 90.6 ms/step, docs/ROUND3_NOTES.md).
     fuse = "off" if os.environ.get("BENCH_FUSE", "auto") == "off" else "auto"
     # BENCH_STEM=frozen benches the frozen-stem fine-tune (stop-gradient at the
-    # stem output — drops the stem backward; models/resnet.py stem_frozen)
-    stem_frozen = os.environ.get("BENCH_STEM", "") == "frozen"
+    # stem output — drops the stem backward; models/resnet.py stem_frozen);
+    # BENCH_STEM=gradK (e.g. grad4) benches the subsampled stem weight-grad
+    stem_mode = os.environ.get("BENCH_STEM", "")
+    stem_frozen = stem_mode == "frozen"
+    stem_grad_stride = int(stem_mode[4:]) if stem_mode.startswith("grad") else 1
     cfg = TrainConfig(
         model_config=NCameraCNNConfig(
             n_cams=2,
@@ -242,6 +247,7 @@ def main() -> None:
             bn_frozen=bn_mode.startswith("frozen"),
             bn_frozen_affine=(bn_mode == "frozen"),
             stem_frozen=stem_frozen,
+            stem_grad_stride=stem_grad_stride,
             fuse_block=fuse,
             fuse_proj=fuse,
             fuse_stem=fuse,
@@ -282,7 +288,7 @@ def main() -> None:
     # fused backbone became the default the compiled-program count collapsed
     # to the augmentation/optimizer residue. Detect that and switch to the
     # architecture-derived count (bytes stay None — no honest number exists).
-    analytic = _analytic_step_flops(2 * batch_size, hw, stem_frozen)
+    analytic = _analytic_step_flops(2 * batch_size, hw, stem_frozen, stem_grad_stride)
     if step_flops is None or step_flops < 0.5 * analytic:
         step_flops = analytic
         step_bytes = None

@@ -98,12 +98,13 @@ def run(cfg: ABConfig) -> dict:
     ev_poses = jnp.asarray(poses[:64])
 
     def make(mode):
-        frozen = mode in ("frozen", "frozenstem")
+        frozen = mode.startswith("frozen") or mode.startswith("stemgrad")
         tc = TrainConfig(
             model_config=NCameraCNNConfig(
                 n_cams=2, backbone="resnet50", resnet_output_dim=1024,
                 bn_frozen=frozen, bn_frozen_affine=frozen,
                 stem_frozen=(mode == "frozenstem"),
+                stem_grad_stride=int(mode[8:]) if mode.startswith("stemgrad") else 1,
             ),
             use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
         )
@@ -172,10 +173,13 @@ def run(cfg: ABConfig) -> dict:
 
     # 2. branch fine-tunes from the SAME snapshot, fresh optimizer state. The
     #    train step donates its input, so each arm gets a deep copy.
-    # "frozenstem" = frozen BN + frozen stem (stop-gradient at the stem output;
-    # models/resnet.py stem_frozen) — the candidate flagship default: drops the
-    # whole stem backward (~6.4 ms of the 82 ms step)
-    for mode in ("exact", "frozen", "frozenstem"):
+    # "frozenstem" = frozen BN + frozen stem (stop-gradient at the stem
+    # output): measured -3 deg rot vs "frozen" on this synthetic-pretrain
+    # proxy (the from-scratch stem still needs to learn), so it did NOT
+    # become the default. "stemgrad4" = frozen BN + stem weight-grad on every
+    # 4th image, scaled (unbiased; models/resnet.py stem_grad_stride) — the
+    # accuracy-preserving form of the same backward saving.
+    for mode in ("exact", "frozen", "frozenstem", "stemgrad4"):
         tc_m, model_m, _, step_m = make(mode)
         tx = make_optimizer(tc_m.max_grad_norm)
         snap = jax.tree_util.tree_map(jnp.copy, state_pre)

@@ -143,3 +143,37 @@ def test_model_level_fused_stem_equivalence():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_stem_grad_stride_subsamples_and_scales():
+    """grad_stride=2's dW must equal the dW computed on the FIRST HALF of the
+    batch scaled by 2 (contiguous-prefix subsample — grid-side in the Pallas
+    path; see _stem_bwd_pallas), in both impls."""
+    import numpy as np
+
+    from argus_tpu.ops.pallas.stem_fused import fused_stem_pool
+
+    rng = np.random.default_rng(3)
+    N, H, W = 4, 16, 16
+    x = jnp.asarray(rng.uniform(0, 1, (N, H, W, 3)), jnp.float32)
+    k7 = jnp.asarray(rng.normal(0, 0.1, (7, 7, 3, 64)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (64,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 1.5, (64,)), jnp.float32)
+
+    for impl in ("pallas", "xla"):
+        def loss(k7v, xv, stride):
+            out = fused_stem_pool(
+                xv, k7v, scale, bias, mean, var, impl=impl, interpret=True,
+                grad_stride=stride,
+            )
+            return jnp.sum(out * jnp.cos(out))
+
+        g_strided = jax.grad(loss)(k7, x, 2)
+        g_half = jax.grad(lambda k: loss(k, x[:2], 1))(k7)
+        np.testing.assert_allclose(
+            # rtol 1e-4: XLA reduces the two batch shapes in different orders
+            np.asarray(g_strided), 2.0 * np.asarray(g_half), rtol=1e-4, atol=1e-6,
+            err_msg=impl,
+        )
