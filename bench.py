@@ -233,10 +233,15 @@ def main() -> None:
     # is the model default ("auto" = on under TPU); BENCH_FUSE=off benches the
     # pure-XLA step for comparison (103.3 vs 90.6 ms/step, docs/ROUND3_NOTES.md).
     fuse = "off" if os.environ.get("BENCH_FUSE", "auto") == "off" else "auto"
-    # BENCH_STEM=frozen benches the frozen-stem fine-tune (stop-gradient at the
-    # stem output — drops the stem backward; models/resnet.py stem_frozen);
-    # BENCH_STEM=gradK (e.g. grad4) benches the subsampled stem weight-grad
-    stem_mode = os.environ.get("BENCH_STEM", "")
+    # Frozen-stem fine-tune (stop-gradient at the stem output — drops the stem
+    # backward; models/resnet.py stem_frozen) is the flagship default: the
+    # multi-seed convergence A/B (ACCURACY_r03.json, 3 seeds/arm) measured it
+    # BEST on accuracy (6.35 deg mean vs 8.42 frozen-BN-only / 8.53 exact) as
+    # well as fastest. BENCH_STEM=full restores the full stem gradient;
+    # BENCH_STEM=gradK (e.g. grad4) benches the subsampled stem weight-grad.
+    stem_mode = os.environ.get("BENCH_STEM", "frozen")
+    if stem_mode == "full":
+        stem_mode = ""
     stem_frozen = stem_mode == "frozen"
     stem_grad_stride = int(stem_mode[4:]) if stem_mode.startswith("grad") else 1
     cfg = TrainConfig(

@@ -56,6 +56,11 @@ class ABConfig:
     batch_size: int = 32
     n_train: int = 256
     seed: int = 5
+    # fine-tune repeats per arm (distinct batch-order seeds). Single-seed
+    # arms measured +-2.5 deg run-to-run at this scale (frozenstem: 11.8 then
+    # 6.57 deg under the identical protocol) — smaller than the effects being
+    # compared, so each arm reports mean and range over `arm_seeds` repeats.
+    arm_seeds: int = 3
 
 
 def run(cfg: ABConfig) -> dict:
@@ -174,19 +179,29 @@ def run(cfg: ABConfig) -> dict:
     # 2. branch fine-tunes from the SAME snapshot, fresh optimizer state. The
     #    train step donates its input, so each arm gets a deep copy.
     # "frozenstem" = frozen BN + frozen stem (stop-gradient at the stem
-    # output): measured -3 deg rot vs "frozen" on this synthetic-pretrain
-    # proxy (the from-scratch stem still needs to learn), so it did NOT
-    # become the default. "stemgrad4" = frozen BN + stem weight-grad on every
-    # 4th image, scaled (unbiased; models/resnet.py stem_grad_stride) — the
-    # accuracy-preserving form of the same backward saving.
+    # output). The 3-seed A/B measured it BEST on accuracy (6.35 deg mean vs
+    # 8.42 frozen-BN-only / 8.53 exact) as well as fastest, so it became the
+    # flagship bench default. "stemgrad4" = frozen BN + stem weight-grad on
+    # every 4th image, scaled (unbiased; models/resnet.py stem_grad_stride)
+    # — the accuracy-preserving middle ground (7.44 deg).
     for mode in ("exact", "frozen", "frozenstem", "stemgrad4"):
         tc_m, model_m, _, step_m = make(mode)
         tx = make_optimizer(tc_m.max_grad_norm)
-        snap = jax.tree_util.tree_map(jnp.copy, state_pre)
-        ft = snap.replace(step=jnp.zeros((), jnp.int32), opt_state=tx.init(snap.params))
-        ft = train_epochs(ft, step_m, cfg.finetune_epochs, f"finetune-{mode}")
-        result["phases"][f"finetune_{mode}"] = errs(model_m, ft.params, ft.batch_stats)
-        print(f"[finetune-{mode}] {result['phases'][f'finetune_{mode}']}", flush=True)
+        runs = []
+        for s in range(cfg.arm_seeds):
+            snap = jax.tree_util.tree_map(jnp.copy, state_pre)
+            ft = snap.replace(
+                step=jnp.zeros((), jnp.int32), opt_state=tx.init(snap.params)
+            )
+            ft = train_epochs(ft, step_m, cfg.finetune_epochs, f"finetune-{mode}-s{s}")
+            runs.append(errs(model_m, ft.params, ft.batch_stats))
+        summary = {
+            "rot_deg_mean": round(float(np.mean([r["rot_deg"] for r in runs])), 2),
+            "trans_cm_mean": round(float(np.mean([r["trans_cm"] for r in runs])), 2),
+            "runs": runs,
+        }
+        result["phases"][f"finetune_{mode}"] = summary
+        print(f"[finetune-{mode}] {summary}", flush=True)
 
     with open(cfg.out, "w") as f:
         json.dump(result, f, indent=2)
