@@ -68,6 +68,9 @@ class CubeKeypointNetConfig:
     bn_frozen_affine: bool = False
     # freeze the stem in fine-tune (see models/resnet.py stem_frozen)
     stem_frozen: bool = False
+    # progressive layer freezing: freeze stem + stages 0..k-1 (models/resnet.py
+    # frozen_stages); 0 = off
+    frozen_stages: int = 0
 
 
 class CubeKeypointNet(nn.Module):
@@ -97,6 +100,7 @@ class CubeKeypointNet(nn.Module):
             bn_frozen=cfg.bn_frozen,
             bn_frozen_affine=cfg.bn_frozen_affine,
             stem_frozen=cfg.stem_frozen,
+            frozen_stages=cfg.frozen_stages,
             name="backbone",
         )
         feats = backbone(per_cam, train=train, return_spatial=True)  # (N, H/32, W/32, C')

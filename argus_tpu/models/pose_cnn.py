@@ -54,6 +54,11 @@ class NCameraCNNConfig:
     # subsampled stem weight-grad (unbiased, fused-stem path; see
     # models/resnet.py stem_grad_stride)
     stem_grad_stride: int = 1
+    # progressive layer freezing: freeze the stem + stages 0..k-1 (one
+    # stop_gradient at the output of stage k-1; models/resnet.py
+    # frozen_stages). 0 = off. Deletes the frozen stages' backward kernels
+    # from the step; accuracy evidence per k in the convergence A/B.
+    frozen_stages: int = 0
     # HBM-lean BatchNorm training (ops/norm.py): stride-s H-subsampled batch stats /
     # dgamma-dbeta estimates. 1 = exact flax/torch BN semantics. The train-step
     # profile is BN-reduction-bound (CLAUDE.md); stride 4 cuts those HBM reads 4x
@@ -144,6 +149,7 @@ class NCameraCNN(nn.Module):
             stem_space_to_depth=cfg.stem_space_to_depth,
             stem_frozen=cfg.stem_frozen,
             stem_grad_stride=cfg.stem_grad_stride,
+            frozen_stages=cfg.frozen_stages,
             bn_stats_stride=cfg.bn_stats_stride,
             bn_grad_stride=cfg.bn_grad_stride,
             bn_impl=cfg.bn_impl,

@@ -471,6 +471,17 @@ class ResNet(nn.Module):
     # the full-accuracy alternative to stem_frozen (which measured -3 deg rot
     # on the synthetic-pretrain A/B where the stem still needs to learn).
     stem_grad_stride: int = 1
+    # Progressive layer freezing for fine-tune: freeze the stem AND stages
+    # 0..k-1 via ONE stop_gradient at the output of stage k-1 (blocking the
+    # cotangent there makes everything upstream primal-only: the fused-stage/
+    # block custom-VJP kernels run their no-save forwards and their backward
+    # kernels disappear from the step). 0 = off. Motivation: the 3-seed
+    # convergence A/B showed freezing the generic early layers IMPROVES
+    # fine-tune accuracy at this dataset scale (frozen-stem arm,
+    # ACCURACY_r03.json) while deleting backward cost — stage 0's backward
+    # chain alone is ~15 ms of the 76 ms flagship step and runs at the F=64
+    # MXU shape ceiling (docs/ROUND3_NOTES.md). Evidence per k in the A/B.
+    frozen_stages: int = 0
     # frozen-BN fine-tune mode: normalize with running stats even when train=True
     # (torchvision FrozenBatchNorm2d semantics; see models/pose_cnn.py rationale)
     bn_frozen: bool = False
@@ -622,6 +633,11 @@ class ResNet(nn.Module):
                 or (self.fuse_stage == "auto" and jax.default_backend() == "tpu")
             )
         )
+        if not 0 <= self.frozen_stages <= len(self.stage_sizes):
+            raise ValueError(
+                f"frozen_stages={self.frozen_stages} out of range for "
+                f"{len(self.stage_sizes)} stages"
+            )
         remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
             if fuse_stg and i in self.fuse_stage_stages and i in self.fuse_block_stages:
@@ -648,24 +664,28 @@ class ResNet(nn.Module):
                     folded.append(blk(xin, fused_fold=True))
                 g = _grid_images(n_, h_, w_, x.shape[-1])
                 x = fused_stage(x, folded[0], folded[1:], stride=s0, g=g)
-                continue
-            block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
-            block_kwargs = dict(base_kwargs)
-            if fuse_blk and i in self.fuse_block_stages:
-                block_kwargs["fuse_block"] = True
-            if fuse_prj and i in self.fuse_block_stages:
-                # projection/strided fusion exists for bottlenecks only
-                block_kwargs["fuse_proj"] = True
-            for j in range(block_count):
-                strides = 2 if i > 0 and j == 0 else 1
-                x = block_cls(
-                    filters=self.num_filters * 2**i,
-                    strides=strides,
-                    conv=conv,
-                    norm=norm,
-                    name=f"stage{i}_block{j}",
-                    **block_kwargs,
-                )(x)
+            else:
+                block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
+                block_kwargs = dict(base_kwargs)
+                if fuse_blk and i in self.fuse_block_stages:
+                    block_kwargs["fuse_block"] = True
+                if fuse_prj and i in self.fuse_block_stages:
+                    # projection/strided fusion exists for bottlenecks only
+                    block_kwargs["fuse_proj"] = True
+                for j in range(block_count):
+                    strides = 2 if i > 0 and j == 0 else 1
+                    x = block_cls(
+                        filters=self.num_filters * 2**i,
+                        strides=strides,
+                        conv=conv,
+                        norm=norm,
+                        name=f"stage{i}_block{j}",
+                        **block_kwargs,
+                    )(x)
+            if i == self.frozen_stages - 1:
+                # one stop_gradient at the deepest frozen stage blocks grads to
+                # this stage, all earlier stages, and the stem (see field doc)
+                x = jax.lax.stop_gradient(x)
 
         if return_spatial:
             # stride-32 feature map for dense-prediction heads (keypoint variant)

@@ -10,13 +10,16 @@ this environment):
   1. "pretrain": exact train-mode BN from random init on the synthetic corners
      dataset (data/synthetic.py pose_encoded="corners" — full 6-DoF signal),
      so the running statistics become meaningful;
-  2. branch the SAME snapshot into two fine-tunes — exact BN vs full
-     FrozenBatchNorm2d (the flagship bench default) — fresh optimizer state
-     each; report TRAIN-set rotation (deg) and translation (cm) errors.
+  2. branch the SAME snapshot into the fine-tune ARMS (exact BN; frozen BN;
+     + frozen stem; + subsampled stem grad; + progressively frozen stages),
+     `arm_seeds` batch-order seeds each, fresh optimizer state per run; report
+     TRAIN-set rotation (deg) and translation (cm) errors, mean + per-run.
 
-Measured on v5e-1 (round 2, 90+40 epochs): pretrain 13.3 deg; fine-tune exact
-9.3 deg / 4.75 cm; fine-tune FROZEN 7.8 deg / 2.16 cm — frozen matches or
-beats exact in the fine-tune regime while running 18% faster.
+Round-3 result (3 seeds/arm, ACCURACY_r03.json): progressive freezing is BOTH
+the accuracy and the speed order — exact 8.53 deg, frozen BN 8.42, frozen stem
+6.35, frozen stages 0-1 5.33 deg / 1.38 cm at 52.2 ms/step. The generic
+pretrained early layers act as a fixed feature extractor / regularizer at this
+dataset scale.
 
 Usage:
     python scripts/convergence_ab.py --out ACCURACY_r03.json \
@@ -61,6 +64,10 @@ class ABConfig:
     # 6.57 deg under the identical protocol) — smaller than the effects being
     # compared, so each arm reports mean and range over `arm_seeds` repeats.
     arm_seeds: int = 3
+    # comma-separated fine-tune arms to run this invocation; results MERGE
+    # into an existing `out` JSON (same dataset/protocol) so new arms can be
+    # measured without re-running the settled ones.
+    arms: str = "exact,frozen,frozenstem,stemgrad4,stage1,stage2,stage3"
 
 
 def run(cfg: ABConfig) -> dict:
@@ -99,17 +106,25 @@ def run(cfg: ABConfig) -> dict:
     idxs = list(range(len(ds)))
     imgs = np.asarray(ds.load_images_batch(idxs))
     poses = np.asarray(ds.cube_poses[idxs], np.float32)
-    ev_imgs = jnp.asarray(imgs[:64])
-    ev_poses = jnp.asarray(poses[:64])
+    # keep the whole dataset DEVICE-resident and gather batches on-device:
+    # per-step host batch feeds cost ~0.7 s per 12.5 MB through the harness
+    # tunnel (CLAUDE.md) — ~10x the step itself. One 100 MB upload instead.
+    d_imgs = jnp.asarray(imgs)
+    d_poses = jnp.asarray(poses)
+    ev_imgs = d_imgs[:64]
+    ev_poses = d_poses[:64]
 
     def make(mode):
-        frozen = mode.startswith("frozen") or mode.startswith("stemgrad")
+        frozen = mode != "exact"
         tc = TrainConfig(
             model_config=NCameraCNNConfig(
                 n_cams=2, backbone="resnet50", resnet_output_dim=1024,
                 bn_frozen=frozen, bn_frozen_affine=frozen,
                 stem_frozen=(mode == "frozenstem"),
                 stem_grad_stride=int(mode[8:]) if mode.startswith("stemgrad") else 1,
+                # "stageK" = progressive layer freezing: frozen BN + stem +
+                # stages 0..K-1 (models/resnet.py frozen_stages)
+                frozen_stages=int(mode[5:]) if mode.startswith("stage") else 0,
             ),
             use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
         )
@@ -133,14 +148,17 @@ def run(cfg: ABConfig) -> dict:
         rng = np.random.default_rng(hash(tag) % 2**31)
         t0 = time.perf_counter()
         loss = None
+        mask = jnp.ones((B,), jnp.float32)
         for _ in range(n):
             order = rng.permutation(len(idxs))
             for s0 in range(0, len(order) - B + 1, B):
-                sel = order[s0 : s0 + B]
+                sel = jnp.asarray(order[s0 : s0 + B])
                 batch = {
-                    "images": jnp.asarray(imgs[sel]),
-                    "cube_pose": jnp.asarray(poses[sel]),
-                    "mask": jnp.ones((B,), jnp.float32),
+                    # on-device gather from the resident dataset (32 indices
+                    # cross the tunnel instead of a 12.6 MB batch)
+                    "images": jnp.take(d_imgs, sel, axis=0),
+                    "cube_pose": jnp.take(d_poses, sel, axis=0),
+                    "mask": mask,
                 }
                 state, loss = step(state, batch)
         print(
@@ -159,6 +177,13 @@ def run(cfg: ABConfig) -> dict:
         "device": str(jax.devices()[0]),
         "phases": {},
     }
+    # merge mode: keep already-measured arms when re-running a subset
+    if os.path.exists(cfg.out):
+        with open(cfg.out) as f:
+            prior = json.load(f)
+        if prior.get("dataset") == result["dataset"] and prior.get("protocol") == result["protocol"]:
+            result["phases"] = prior.get("phases", {})
+            print(f"merging into existing {cfg.out} ({len(result['phases'])} phases)", flush=True)
 
     # 1. pretrain with exact BN (snapshot cached — it is the INPUT to the A/B)
     pre_ckpt = (
@@ -184,7 +209,7 @@ def run(cfg: ABConfig) -> dict:
     # flagship bench default. "stemgrad4" = frozen BN + stem weight-grad on
     # every 4th image, scaled (unbiased; models/resnet.py stem_grad_stride)
     # — the accuracy-preserving middle ground (7.44 deg).
-    for mode in ("exact", "frozen", "frozenstem", "stemgrad4"):
+    for mode in [a.strip() for a in cfg.arms.split(",") if a.strip()]:
         tc_m, model_m, _, step_m = make(mode)
         tx = make_optimizer(tc_m.max_grad_norm)
         runs = []

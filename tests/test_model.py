@@ -172,3 +172,40 @@ def test_stem_frozen_stops_stem_gradients_only():
     b = jax.tree_util.tree_leaves(g_on["stage0_block0"])
     for x1, x2 in zip(a, b):
         assert jnp.allclose(x1, x2, atol=1e-6)
+
+
+def test_frozen_stages_stops_gradients_below_boundary():
+    """frozen_stages=k zeroes grads for the stem and stages 0..k-1, leaves the
+    forward value and every deeper gradient identical (single stop_gradient at
+    the stage k-1 output: models/resnet.py)."""
+    from argus_tpu.models.resnet import resnet18
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    outs, grads = [], []
+    for k in (0, 2):
+        m = resnet18(output_dim=8, frozen_stages=k)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(p):
+            o = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x, train=False)
+            return jnp.sum(o**2)
+
+        outs.append(float(loss(v["params"])))
+        grads.append(jax.grad(loss)(v["params"]))
+    assert outs[0] == pytest.approx(outs[1], rel=1e-6)
+    g_off, g_on = grads
+    frozen = [k for k in g_on if k in ("conv_init", "norm_init")]
+    frozen += [k for k in g_on if k.startswith(("stage0_", "stage1_"))]
+    live = [k for k in g_on if k.startswith(("stage2_", "stage3_"))]
+    assert frozen and live
+    for name in frozen:
+        assert all(
+            float(jnp.abs(l).max()) == 0.0
+            for l in jax.tree_util.tree_leaves(g_on[name])
+        ), name
+    for name in live:
+        for x1, x2 in zip(
+            jax.tree_util.tree_leaves(g_off[name]),
+            jax.tree_util.tree_leaves(g_on[name]),
+        ):
+            assert jnp.allclose(x1, x2, atol=1e-6)
