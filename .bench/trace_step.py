@@ -45,6 +45,7 @@ cfg = TrainConfig(
         bn_frozen_affine=bn_mode in ("frozen", "frozenaff"),
         stem_frozen=stem_mode == "frozen",
         stem_grad_stride=int(stem_mode[4:]) if stem_mode.startswith("grad") else 1,
+        frozen_stages=int(os.environ.get("BENCH_FROZEN_STAGES", "0")),
         **fuse_kw,
     ),
     use_augmentation=True, amp=True, wandb_log=False,
