@@ -97,6 +97,14 @@ class BasicBlock(nn.Module):
 
     expansion: int = 1
     fuse_block: bool = False
+    # frozen-stage member: stop-gradient the conv kernels at the use site so the
+    # fused custom-VJP ops see NO tangent-carrying inputs and run their no-save
+    # primal forwards. The downstream stop_gradient alone (frozen_stages) DCEs
+    # the backward but NOT the save-forward's residual writes: a multi-output
+    # Pallas custom call is all-or-nothing to XLA's DCE, so the dead h1/h2/
+    # boundary residual HBM writes survive (~4-5 ms/step measured at flagship
+    # shapes, trace outputs/traces/step_r3s4).
+    freeze: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -126,10 +134,11 @@ class BasicBlock(nn.Module):
         f = self.filters
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
         g = _grid_images(n, h, w, x.shape[-1])
+        sg = jax.lax.stop_gradient if self.freeze else (lambda a: a)
 
-        k1 = _Conv3x3Params(f, name="Conv_0")(x.shape[-1])
+        k1 = sg(_Conv3x3Params(f, name="Conv_0")(x.shape[-1]))
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
-        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        k2 = sg(_Conv3x3Params(f, name="Conv_1")(f))
         s2, b2, m2, v2 = _FrozenBNParams(
             scale_init=nn.initializers.zeros_init(), name="BatchNorm_1"
         )(f)
@@ -260,6 +269,9 @@ class BottleneckBlock(nn.Module):
     # fuse PROJECTION (stage-entry / strided) blocks too (ops/pallas/proj_fused.py)
     fuse_proj: bool = False
     pw_impl: str = "auto"  # forwarded to the fused ops
+    # frozen-stage member: stop-gradient the conv kernels at the use site so the
+    # fused custom-VJP ops run their no-save primal forwards (see BasicBlock.freeze)
+    freeze: bool = False
 
     @nn.compact
     def __call__(self, x, fused_fold: bool = False):
@@ -304,12 +316,13 @@ class BottleneckBlock(nn.Module):
         f = self.filters
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
         g = _grid_images(n, h, w, cin)
+        sg = jax.lax.stop_gradient if self.freeze else (lambda a: a)
 
-        k1 = _Conv1x1Params(f, name="Conv_0")(cin)
+        k1 = sg(_Conv1x1Params(f, name="Conv_0")(cin))
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
-        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        k2 = sg(_Conv3x3Params(f, name="Conv_1")(f))
         s2, b2, m2, v2 = _FrozenBNParams(name="BatchNorm_1")(f)
-        k3 = _Conv1x1Params(cin, name="Conv_2")(f)
+        k3 = sg(_Conv1x1Params(cin, name="Conv_2")(f))
         s3, b3, m3, v3 = _FrozenBNParams(
             scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
         )(cin)
@@ -327,16 +340,17 @@ class BottleneckBlock(nn.Module):
         cout = f * self.expansion
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
         g = _grid_images(n, h, w, cin)
+        sg = jax.lax.stop_gradient if self.freeze else (lambda a: a)
 
-        k1 = _Conv1x1Params(f, name="Conv_0")(cin)
+        k1 = sg(_Conv1x1Params(f, name="Conv_0")(cin))
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(f)
-        k2 = _Conv3x3Params(f, name="Conv_1")(f)
+        k2 = sg(_Conv3x3Params(f, name="Conv_1")(f))
         s2, b2, m2, v2 = _FrozenBNParams(name="BatchNorm_1")(f)
-        k3 = _Conv1x1Params(cout, name="Conv_2")(f)
+        k3 = sg(_Conv1x1Params(cout, name="Conv_2")(f))
         s3, b3, m3, v3 = _FrozenBNParams(
             scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
         )(cout)
-        ksc = _Conv1x1Params(cout, name="conv_proj")(cin)
+        ksc = sg(_Conv1x1Params(cout, name="conv_proj")(cin))
         ssc, bsc, msc, vsc = _FrozenBNParams(name="norm_proj")(cout)
         return fused_projection_block(
             x,
@@ -386,8 +400,9 @@ class BottleneckBlock(nn.Module):
         eps = self.norm.keywords.get("epsilon", 1e-5)
         cin = x.shape[-1]
         cout = self.filters * self.expansion
+        sg = jax.lax.stop_gradient if self.freeze else (lambda a: a)
 
-        k1 = _Conv1x1Params(self.filters, name="Conv_0")(cin)
+        k1 = sg(_Conv1x1Params(self.filters, name="Conv_0")(cin))
         s1, b1, m1, v1 = _FrozenBNParams(name="BatchNorm_0")(self.filters)
         y = pointwise_conv_frozen_bn(
             x, k1, s1, b1, m1, v1, eps=eps, relu=True, impl=self.pw_impl
@@ -410,7 +425,7 @@ class BottleneckBlock(nn.Module):
             )(residual)
             residual = self.norm(name="norm_proj")(residual)
 
-        k3 = _Conv1x1Params(cout, name="Conv_2")(self.filters)
+        k3 = sg(_Conv1x1Params(cout, name="Conv_2")(self.filters))
         s3, b3, m3, v3 = _FrozenBNParams(
             scale_init=nn.initializers.zeros_init(), name="BatchNorm_2"
         )(cout)
@@ -561,11 +576,20 @@ class ResNet(nn.Module):
                 or (self.fuse_stem == "auto" and jax.default_backend() == "tpu")
             )
         )
+        # The stem is frozen under stem_frozen OR any frozen_stages depth. For
+        # the fused stem, stop-gradient the kernel AT THE USE SITE: with no
+        # tangent-carrying inputs the custom-VJP op runs its no-save primal,
+        # dropping the dead yg residual write (256x128x128x64 bf16 = 537 MB at
+        # flagship shapes) that survives DCE when only the downstream
+        # stop_gradient blocks the cotangent (multi-output Pallas custom calls
+        # are all-or-nothing to XLA's DCE; trace outputs/traces/step_r3s4).
+        stem_frozen = self.stem_frozen or self.frozen_stages >= 1
+        sg_stem = jax.lax.stop_gradient if stem_frozen else (lambda a: a)
         x = x.astype(self.dtype)
         if fuse_stem_on:
             from argus_tpu.ops.pallas.stem_fused import fused_stem_pool
 
-            k7 = _Conv7x7Params(self.num_filters, name="conv_init")(x.shape[-1])
+            k7 = sg_stem(_Conv7x7Params(self.num_filters, name="conv_init")(x.shape[-1]))
             s0, b0, m0, v0 = _FrozenBNParams(name="norm_init")(self.num_filters)
             x = fused_stem_pool(
                 x, k7, s0, b0, m0, v0, eps=self.norm_eps,
@@ -640,7 +664,25 @@ class ResNet(nn.Module):
             )
         remat_cls = nn.remat(self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
-            if fuse_stg and i in self.fuse_stage_stages and i in self.fuse_block_stages:
+            frozen = i < self.frozen_stages
+            if frozen:
+                # Stop the INPUT tangent too: with the weights also
+                # stop-gradient'd (freeze flag / folded-weight sg below), the
+                # fused custom-VJP ops see zero tangent inputs and trace their
+                # no-save primal forwards — the save-forward's dead residual
+                # writes otherwise survive DCE (see BasicBlock.freeze doc).
+                x = jax.lax.stop_gradient(x)
+            # Frozen stages chain WHOLE (chain_cap=block_count): the 3-block
+            # cap guards the unrolled multi-block BACKWARD Mosaic compile
+            # pathology, and frozen stages never trace a backward. Measured
+            # fwd-only: whole-stage chains compile in 12-38 s and beat the
+            # split/per-block forwards at stages 1-2 (.bench/bench_fwd_chain.py).
+            use_chain = (
+                fuse_stg
+                and i in self.fuse_block_stages
+                and (i in self.fuse_stage_stages or frozen)
+            )
+            if use_chain:
                 # whole-stage chain: one Pallas kernel per direction; the
                 # chain's saved-residual backward is already memory-lean, so
                 # remat flags don't apply here (docstring in stage_fused.py)
@@ -661,12 +703,20 @@ class ResNet(nn.Module):
                     xin = x if j == 0 else jax.ShapeDtypeStruct(
                         (n_, h_ // s0, w_ // s0, cout), x.dtype
                     )
-                    folded.append(blk(xin, fused_fold=True))
+                    fw = blk(xin, fused_fold=True)
+                    if frozen:
+                        fw = jax.tree_util.tree_map(jax.lax.stop_gradient, fw)
+                    folded.append(fw)
                 g = _grid_images(n_, h_, w_, x.shape[-1])
-                x = fused_stage(x, folded[0], folded[1:], stride=s0, g=g)
+                x = fused_stage(
+                    x, folded[0], folded[1:], stride=s0, g=g,
+                    chain_cap=block_count if frozen else 3,
+                )
             else:
                 block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls
                 block_kwargs = dict(base_kwargs)
+                if frozen:
+                    block_kwargs["freeze"] = True
                 if fuse_blk and i in self.fuse_block_stages:
                     block_kwargs["fuse_block"] = True
                 if fuse_prj and i in self.fuse_block_stages:

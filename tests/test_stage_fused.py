@@ -213,3 +213,120 @@ def test_chain_matches_per_block_kernels():
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def _walk_pallas_calls(jx, out):
+    for eqn in jx.eqns:
+        if eqn.primitive.name == "pallas_call":
+            out.append(len(eqn.outvars))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                _walk_pallas_calls(v.jaxpr, out)
+            elif isinstance(v, (tuple, list)):
+                for w in v:
+                    if hasattr(w, "jaxpr"):
+                        _walk_pallas_calls(w.jaxpr, out)
+    return out
+
+
+def test_frozen_inputs_select_no_save_forward():
+    """The frozen_stages contract that makes freezing CHEAP: when the chain's
+    input AND weights are stop-gradient'd, the custom-VJP primal (a
+    single-output, no-save kernel) must trace — not the save-residual forward,
+    whose dead residual writes survive DCE (a multi-output Pallas custom call
+    is all-or-nothing to XLA). Regression for the round-3 finding that the
+    downstream stop_gradient alone left ~4-5 ms/step of dead saves in the
+    flagship step (trace outputs/traces/step_r3s4)."""
+    rng = np.random.default_rng(3)
+    cin, f, cout, S = 32, 16, 64, 2
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, cin)), jnp.float32)
+    pw, idws = _mk_params(rng, cin, f, cout, 2, True)
+
+    def head(out, w):
+        return jnp.sum((out * w) ** 2)
+
+    w_head = jnp.ones((), jnp.float32)
+
+    def loss_frozen(wh):
+        sg = jax.lax.stop_gradient
+        out = fused_stage(
+            sg(x), jax.tree_util.tree_map(sg, pw), jax.tree_util.tree_map(sg, idws),
+            stride=S, impl="pallas", interpret=True, chain_cap=3,
+        )
+        return head(out, wh)
+
+    def loss_trainable(params):
+        pwv, idwsv = params
+        out = fused_stage(x, pwv, idwsv, stride=S, impl="pallas", interpret=True, chain_cap=3)
+        return head(out, w_head)
+
+    arities_frozen = _walk_pallas_calls(
+        jax.make_jaxpr(jax.grad(loss_frozen))(w_head).jaxpr, []
+    )
+    arities_train = _walk_pallas_calls(
+        jax.make_jaxpr(jax.grad(loss_trainable))((pw, idws)).jaxpr, []
+    )
+    # frozen: only no-save single-output forwards
+    assert arities_frozen and all(a == 1 for a in arities_frozen), arities_frozen
+    # sanity: the differentiated path does produce multi-output save-forwards
+    assert any(a > 1 for a in arities_train), arities_train
+
+
+def test_model_frozen_stages_whole_chain_equivalence():
+    """frozen_stages through the fused chain path (XLA fallback math on CPU):
+    same outputs as the unfused frozen model, zero grads for frozen stages,
+    identical deeper grads — with the whole-stage (chain_cap=block_count)
+    frozen chains and use-site weight stop_gradients active."""
+    from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+
+    kw = dict(
+        n_cams=1,
+        backbone="resnet50",
+        resnet_output_dim=8,
+        bn_frozen=True,
+        bn_frozen_affine=True,
+        frozen_stages=2,
+    )
+    m_ref = NCameraCNN(NCameraCNNConfig(**kw))
+    m_chain = NCameraCNN(
+        NCameraCNNConfig(**kw, fuse_block="on", fuse_proj="on", fuse_stage="on")
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(0.45, 0.2, (2, 64, 64, 3)), jnp.float32)
+    v_ref = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    v_chain = m_chain.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_chain)
+
+    out_ref = m_ref.apply(v_ref, x, train=False)
+    out_chain = m_chain.apply(v_chain, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_chain), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+    def grads(model, variables):
+        def f(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True,
+            )
+            return jnp.sum(out**2)
+
+        return jax.grad(f)(variables["params"])
+
+    g_ref = grads(m_ref, v_ref)
+    g_chain = grads(m_chain, v_chain)
+    bb = g_chain["backbone"]
+    frozen = [k for k in bb if k in ("conv_init",) or k.startswith(("stage0_", "stage1_"))]
+    assert frozen
+    for name in frozen:
+        assert all(
+            float(jnp.abs(l).max()) == 0.0
+            for l in jax.tree_util.tree_leaves(bb[name])
+        ), name
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_chain),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=3e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
