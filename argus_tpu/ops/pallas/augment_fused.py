@@ -96,7 +96,7 @@ def _hue_shift(x, shift):
     return _clip01(jnp.stack([r2, g2, b2])).astype(out_dt)
 
 
-def _make_kernel(n_arcs: int):
+def _make_kernel(n_arcs: int, phases: str = "awjbp"):
     A = n_arcs * 10  # scalar offsets into the packed SMEM row
     PO, JO, GO, MO, BO, QO = A, A + 3, A + 7, A + 12, A + 21, A + 23
 
@@ -110,7 +110,7 @@ def _make_kernel(n_arcs: int):
             return w_ref[i, k]  # f32 SMEM scalar (cast at the vector op)
 
         # ── spaghetti arcs (ops/augment.spaghetti_arcs math) ──
-        if n_arcs > 0:
+        if n_arcs > 0 and "a" in phases:
             # Mosaic iota is integer-only; cast after
             yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
             xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
@@ -134,9 +134,10 @@ def _make_kernel(n_arcs: int):
             x = jnp.where(occ[None], jnp.zeros((), dt), x)
 
         # ── planckian white balance ──
-        x = _clip01(
-            jnp.stack([x[c] * w(PO + c).astype(dt) for c in range(3)])
-        )
+        if "w" in phases:
+            x = _clip01(
+                jnp.stack([x[c] * w(PO + c).astype(dt) for c in range(3)])
+            )
 
         # ── color jiggle in the sampled order ──
         # scalars stay f32 (Mosaic has no bf16 scalar ALU); cast at the vector op
@@ -157,48 +158,54 @@ def _make_kernel(n_arcs: int):
         def do_hue(img):
             return _hue_shift(img, hf)
 
-        for slot in range(4):
-            x = jax.lax.switch(
-                order_ref[0, slot], (do_brightness, do_contrast, do_saturation, do_hue), x
-            )
+        if "J" in phases:  # fixed-order variant: isolates the lax.switch cost
+            x = do_hue(do_saturation(do_contrast(do_brightness(x))))
+        elif "j" in phases:
+            for slot in range(4):
+                x = jax.lax.switch(
+                    order_ref[0, slot], (do_brightness, do_contrast, do_saturation, do_hue), x
+                )
 
         # ── gaussian (5-tap separable) then motion (3x3) blur, both gated ──
-        xp = _pad_edge(x, 2, axis=1)
-        g = jnp.zeros_like(x)
-        for k in range(5):
-            g = g + w(GO + k).astype(dt) * xp[:, k : k + H, :]
-        gp = _pad_edge(g, 2, axis=2)
-        g2 = jnp.zeros_like(x)
-        for k in range(5):
-            g2 = g2 + w(GO + k).astype(dt) * gp[:, :, k : k + W]
-        ggate = w(BO)
-        g2 = ggate.astype(dt) * g2 + (1.0 - ggate).astype(dt) * x
+        if "b" in phases:
+            xp = _pad_edge(x, 2, axis=1)
+            g = jnp.zeros_like(x)
+            for k in range(5):
+                g = g + w(GO + k).astype(dt) * xp[:, k : k + H, :]
+            gp = _pad_edge(g, 2, axis=2)
+            g2 = jnp.zeros_like(x)
+            for k in range(5):
+                g2 = g2 + w(GO + k).astype(dt) * gp[:, :, k : k + W]
+            ggate = w(BO)
+            g2 = ggate.astype(dt) * g2 + (1.0 - ggate).astype(dt) * x
 
-        mp = _pad_edge(_pad_edge(g2, 1, axis=1), 1, axis=2)
-        mblur = jnp.zeros_like(x)
-        for ky in range(3):
-            for kx in range(3):
-                mblur = mblur + w(MO + 3 * ky + kx).astype(dt) * mp[:, ky : ky + H, kx : kx + W]
-        mgate = w(BO + 1)
-        x = mgate.astype(dt) * mblur + (1.0 - mgate).astype(dt) * g2
+            mp = _pad_edge(_pad_edge(g2, 1, axis=1), 1, axis=2)
+            mblur = jnp.zeros_like(x)
+            for ky in range(3):
+                for kx in range(3):
+                    mblur = mblur + w(MO + 3 * ky + kx).astype(dt) * mp[:, ky : ky + H, kx : kx + W]
+            mgate = w(BO + 1)
+            x = mgate.astype(dt) * mblur + (1.0 - mgate).astype(dt) * g2
 
         # ── plasma shadow: in-kernel bilinear upsample (two MXU matmuls) ──
-        field = field_ref[0]  # (S, S) f32
-        up = jnp.dot(
-            jnp.dot(mh_ref[...], field, preferred_element_type=jnp.float32),
-            mwt_ref[...],
-            preferred_element_type=jnp.float32,
-        )  # (H, W)
-        fmin = jnp.min(up)
-        fmax = jnp.max(up)
-        plasma = (up - fmin) / jnp.maximum(fmax - fmin, 1e-6)
-        shade = jnp.where(plasma < w(QO + 1), 1.0, 0.0) * w(QO)
-        out_ref[0] = _clip01(x + shade[None].astype(dt))
+        if "p" in phases:
+            field = field_ref[0]  # (S, S) f32
+            up = jnp.dot(
+                jnp.dot(mh_ref[...], field, preferred_element_type=jnp.float32),
+                mwt_ref[...],
+                preferred_element_type=jnp.float32,
+            )  # (H, W)
+            fmin = jnp.min(up)
+            fmax = jnp.max(up)
+            plasma = (up - fmin) / jnp.maximum(fmax - fmin, 1e-6)
+            shade = jnp.where(plasma < w(QO + 1), 1.0, 0.0) * w(QO)
+            x = _clip01(x + shade[None].astype(dt))
+        out_ref[0] = x
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_arcs", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_arcs", "interpret", "phases"))
 def fused_augment(
     images: jnp.ndarray,
     field: jnp.ndarray,
@@ -208,6 +215,7 @@ def fused_augment(
     order: jnp.ndarray,
     n_arcs: int,
     interpret: bool = False,
+    phases: str = "awjbp",
 ) -> jnp.ndarray:
     """Run the fused augmentation kernel.
 
@@ -222,7 +230,7 @@ def fused_augment(
     N, C, H, W = images.shape
     S = field.shape[-1]
     return pl.pallas_call(
-        _make_kernel(n_arcs),
+        _make_kernel(n_arcs, phases),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
