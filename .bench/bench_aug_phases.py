@@ -1,9 +1,15 @@
-"""Attribute the fused-augment kernel's 4.56 ms/step across its phases.
+"""Attribute the fused-augment kernel's per-step cost across its phases.
 
 Per-call dispatch through the harness tunnel is ~2 ms, so each variant chains
 REPS kernel applications inside one jit via lax.scan (output shape == input
-shape) and divides. Phase letters: a=arcs, w=planckian, j=jiggle(switch),
-J=jiggle fixed-order (isolates the lax.switch cost), b=blurs, p=plasma.
+shape) and divides. Phase letters: a=arcs, w=planckian, j=jiggle (static hue
+position + selector-affine passes, the default), S=jiggle legacy in-kernel
+lax.switch, J=jiggle fixed-order (the floor), b=blurs, p=plasma.
+
+Measured 2026-08-18 (v5e-1, N=256 bf16 256x256): full stack 4.466 ms with the
+static-hue-position jiggle vs 5.226 legacy switch (-0.76 ms) vs 4.269
+fixed-order floor. A padded 6-affine-pass dynamic-hue variant recovered
+NOTHING (5.232 ms) — identity passes pay full luma+mean cost.
 """
 import sys
 import time
@@ -75,13 +81,11 @@ def timed(phases):
 base = timed("awjbp")
 print(f"full stack (awjbp): {base:.3f} ms", flush=True)
 for ph, label in [
-    ("wjbp", "no arcs"),
-    ("ajbp", "no planckian"),
-    ("awbp", "no jiggle"),
+    ("awSbp", "jiggle legacy switch"),
     ("awJbp", "jiggle fixed order"),
+    ("awbp", "no jiggle"),
+    ("wjbp", "no arcs"),
     ("awjp", "no blurs"),
-    ("awjb", "no plasma"),
-    ("", "copy only (floor)"),
 ]:
     ms = timed(ph)
     print(f"{label:22s} ({ph or '-':6s}): {ms:.3f} ms  (delta {base - ms:+.3f})", flush=True)

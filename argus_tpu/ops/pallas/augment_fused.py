@@ -14,9 +14,10 @@ unfused path (ops/augment.py `_arc_params`/`_planckian_gains`/`_jiggle_params`/
 `_gaussian_taps`/`_motion_kernel`/`_plasma_params`), so both paths produce the
 same augmentation up to dtype-accumulation noise — the equivalence is tested in
 tests/test_augment_fused.py. Per-image scalars ride in ONE packed SMEM array
-(layout below); the color-jiggle application order arrives as 4 SMEM ints driving
-in-kernel `lax.switch` (the order is sampled once per batch, kornia
-same_on_batch semantics — argus/data.py:72).
+(layout below); the color-jiggle application order (sampled once per batch,
+kornia same_on_batch semantics — argus/data.py:72) is compiled by `jiggle_plan`
+into a static hue position (selecting one of 4 kernel variants via an XLA
+switch) plus 3 SMEM affine-op selectors.
 
 Border handling for the blur follows ops/pallas/blur.py: edge replication
 (kornia reflect-pads; a 2 px border difference).
@@ -96,11 +97,46 @@ def _hue_shift(x, shift):
     return _clip01(jnp.stack([r2, g2, b2])).astype(out_dt)
 
 
-def _make_kernel(n_arcs: int, phases: str = "awjbp"):
+def jiggle_plan(order: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compile the sampled color-jiggle order into a branch-free kernel plan.
+
+    brightness/contrast/saturation are all instances of ONE affine form
+        clip(alpha*x + beta*luma(x) + gamma*mean(luma(x)))
+    with (alpha, beta, gamma) = (bf,0,0) / (cf,0,1-cf) / (sf,1-sf,0); hue is
+    the only nonlinear op. Any sampled order therefore factors as
+        [affine passes 0..p-1] o hue o [affine passes p..2]
+    i.e. exactly 3 affine passes plus hue at position p. The kernel family is
+    specialized on p (4 variants dispatched by an XLA lax.switch OUTSIDE the
+    kernel, so only the selected variant executes) while the 3 affine passes
+    stay selector-driven. This replaces the 4-way in-kernel lax.switch per
+    slot, whose all-branch VPU execution cost ~0.9 ms/step; a first attempt
+    that kept p dynamic by padding to 6 affine passes recovered NOTHING
+    (5.232 vs 5.228 ms — the identity passes pay full luma+mean cost), which
+    is why p must be static (.bench/bench_aug_phases.py).
+
+    Only the ORDER is per-batch (kornia same_on_batch, argus/data.py:72); the
+    factors are per-image, so the plan carries op SELECTORS and the kernel
+    resolves each pass's scalars per image from SMEM.
+
+    Args:
+        order: (4,) int32 permutation of 0..3 (0=brightness, 1=contrast,
+            2=saturation, 3=hue).
+    Returns:
+        (hue_pos scalar int32, (1, 3) int32 affine op selectors in sampled
+        relative order).
+    """
+    p = jnp.argmax(order == 3)  # hue position in the sampled order
+    sel = jnp.where(order == 3, 3, order)
+    # stable-sort the 3 affine ops ahead of the hue slot (relative order kept)
+    aff = sel[jnp.argsort(sel == 3, stable=True)][:3]
+    return p.astype(jnp.int32), aff[None].astype(jnp.int32)
+
+
+def _make_kernel(n_arcs: int, phases: str = "awjbp", hue_pos: int = 0):
     A = n_arcs * 10  # scalar offsets into the packed SMEM row
     PO, JO, GO, MO, BO, QO = A, A + 3, A + 7, A + 12, A + 21, A + 23
 
-    def kernel(img_ref, field_ref, mh_ref, mwt_ref, w_ref, order_ref, out_ref):
+    def kernel(img_ref, field_ref, mh_ref, mwt_ref, w_ref, order_ref, jp_ref, out_ref):
         i = pl.program_id(0)
         x = img_ref[0]  # (3, H, W)
         H, W = x.shape[1], x.shape[2]
@@ -158,13 +194,41 @@ def _make_kernel(n_arcs: int, phases: str = "awjbp"):
         def do_hue(img):
             return _hue_shift(img, hf)
 
-        if "J" in phases:  # fixed-order variant: isolates the lax.switch cost
+        def unified(img, r):
+            # one jiggle_plan affine pass: clip(a*img + b*luma + g*mean(luma)).
+            # jp_ref[0, r] selects WHICH op this pass is (per-batch); the
+            # factors are per-image SMEM scalars — resolved with scalar selects,
+            # zero vector control flow. Arithmetic mirrors do_brightness/
+            # contrast/saturation exactly (adding the zeroed terms is exact:
+            # img >= 0, so v + 0.0 == v).
+            op = jp_ref[0, r]
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            a = jnp.where(op == 0, bf, jnp.where(op == 1, cf, sf))
+            b_ = jnp.where(op == 2, one - sf, zero)
+            g_ = jnp.where(op == 1, one - cf, zero)
+            lum = _luma(img)
+            m32 = jnp.mean(lum.astype(jnp.float32))
+            return _clip01(
+                a.astype(dt) * img + b_.astype(dt) * lum[None] + (g_ * m32).astype(dt)
+            )
+
+        if "J" in phases:  # fixed-order variant: isolates the order-dispatch cost
             x = do_hue(do_saturation(do_contrast(do_brightness(x))))
-        elif "j" in phases:
+        elif "S" in phases:  # legacy lax.switch form (attribution benches only)
             for slot in range(4):
                 x = jax.lax.switch(
                     order_ref[0, slot], (do_brightness, do_contrast, do_saturation, do_hue), x
                 )
+        elif "j" in phases:
+            # hue at STATIC position hue_pos (this kernel variant); 3
+            # selector-affine passes in the sampled relative order
+            for r in range(3):
+                if r == hue_pos:
+                    x = do_hue(x)
+                x = unified(x, r)
+            if hue_pos == 3:
+                x = do_hue(x)
 
         # ── gaussian (5-tap separable) then motion (3x3) blur, both gated ──
         if "b" in phases:
@@ -229,18 +293,37 @@ def fused_augment(
     """
     N, C, H, W = images.shape
     S = field.shape[-1]
-    return pl.pallas_call(
-        _make_kernel(n_arcs, phases),
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, C, H, W), images.dtype),
-        interpret=interpret,
-    )(images, field, mh, mwt, packed, order)
+    # branch-free jiggle plan from the per-batch order (factors stay per-image)
+    hue_pos, jp = jiggle_plan(order[0])
+
+    def run(hp):
+        def branch(images, field, mh, mwt, packed, order, jp):
+            return pl.pallas_call(
+                _make_kernel(n_arcs, phases, hue_pos=hp),
+                grid=(N,),
+                in_specs=[
+                    pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((H, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((S, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, C, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((N, C, H, W), images.dtype),
+                interpret=interpret,
+            )(images, field, mh, mwt, packed, order, jp)
+
+        return branch
+
+    if "j" in phases and "J" not in phases and "S" not in phases:
+        # hue position is baked into each kernel variant; the XLA switch runs
+        # only the selected branch (true conditional on TPU, unlike in-kernel
+        # lax.switch whose branches all execute on the VPU)
+        return jax.lax.switch(
+            hue_pos, [run(hp) for hp in range(4)], images, field, mh, mwt, packed, order, jp
+        )
+    return run(0)(images, field, mh, mwt, packed, order, jp)
