@@ -116,7 +116,14 @@ def _rgb_to_hsv(img: jnp.ndarray) -> jnp.ndarray:
     rc = (maxc - r) / safe_delta
     gc = (maxc - g) / safe_delta
     bc = (maxc - b) / safe_delta
-    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    # Branch by channel ORDERING, never by equality against the recomputed max:
+    # XLA may fuse the producer into each use with/without FMA, so `maxc == g`
+    # can fail by 1 ulp on a green-max pixel and fall through to the blue-max
+    # formula — a catastrophic (~0.36) hue jump. Ordering comparisons degrade
+    # gracefully: a near-tie picks either branch, both of whose formulas agree
+    # at the tie (continuity of the sextant construction).
+    is_r = (r >= g) & (r >= b)
+    h = jnp.where(is_r, bc - gc, jnp.where(g >= b, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta == 0, 0.0, h)
     h = (h / 6.0) % 1.0
     return jnp.stack([h, s, v], axis=1)

@@ -71,7 +71,12 @@ def _hue_shift(x, shift):
     rc = (maxc - r) / safe_delta
     gc = (maxc - g) / safe_delta
     bc = (maxc - b) / safe_delta
-    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    # branch by channel ORDERING, never equality vs the recomputed max — see
+    # ops/augment._rgb_to_hsv: consumer fusion can recompute a channel with
+    # and without FMA, so `maxc == g` can miss by 1 ulp and fall through to
+    # the wrong sextant formula (caught by test_jiggle_plan_all_orders)
+    is_r = (r >= g) & (r >= b)
+    h = jnp.where(is_r, bc - gc, jnp.where(g >= b, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta == 0, zero, h)
     h = (h / 6.0) % 1.0
 

@@ -60,6 +60,40 @@ def test_fused_falls_back_when_unsupported(images):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_jiggle_plan_all_orders():
+    """jiggle_plan factors every one of the 24 sampled orders into (hue_pos,
+    affine selectors) and the static-hue-position kernel dispatch reproduces
+    the legacy in-kernel lax.switch exactly (same SMEM scalars, same math)."""
+    import itertools
+
+    from argus_tpu.ops.pallas.augment_fused import fused_augment, jiggle_plan
+
+    rng = np.random.default_rng(3)
+    N, H, W = 2, 16, 128  # lane-width W; tiny rows keep interpret mode fast
+    img = jnp.asarray(rng.uniform(0, 1, (N, 3, H, W)).astype(np.float32))
+    field = jnp.asarray(rng.uniform(0, 1, (N, 4, 4)).astype(np.float32))
+    mh = jnp.asarray(np.zeros((H, 4), np.float32))
+    mwt = jnp.asarray(np.zeros((4, W), np.float32))
+    # packed row: no arcs; gains(3) | jiggle b,c,s,h(4) | gauss(5) | motion(9)
+    # | gates(2) | plasma(2) — only the jiggle slots matter for phases="j"/"S"
+    packed = np.zeros((N, 25), np.float32)
+    packed[:, 3:7] = rng.uniform(0.6, 1.4, (N, 4)).astype(np.float32)
+    packed[:, 6] = rng.uniform(-0.4, 0.4, N).astype(np.float32)  # hue shift
+    packed = jnp.asarray(packed)
+
+    for perm in itertools.permutations(range(4)):
+        order = jnp.asarray(perm, jnp.int32)
+        hue_pos, aff = jiggle_plan(order)
+        assert int(hue_pos) == perm.index(3)
+        assert [int(v) for v in aff[0]] == [v for v in perm if v != 3]
+        run = lambda ph: fused_augment(
+            img, field, mh, mwt, packed, order[None], n_arcs=0, interpret=True, phases=ph
+        )
+        np.testing.assert_allclose(
+            np.asarray(run("j")), np.asarray(run("S")), atol=1e-6, err_msg=f"order={perm}"
+        )
+
+
 def test_fused_under_data_sharding(images):
     """The fused kernel must run shard_mapped over a >1-device data axis and
     reproduce the unsharded result exactly (per-image math)."""
