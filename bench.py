@@ -219,7 +219,13 @@ def main() -> None:
     from argus_tpu.train import TrainConfig, create_train_state, make_train_step
     from argus_tpu.geom import se3_exp
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    # B=256 global (512 camera images) is the throughput/latency knee of the
+    # fused step on v5e-1: 6,838 img/s @128 -> 6,955 @192 -> 7,122 @256 ->
+    # 7,190 @384 -> 7,299 @512 -> 7,352 @768 (MFU 0.52 -> 0.556 asymptote;
+    # docs/ROUND3_NOTES.md batch-scaling log). Past 256 each doubling buys
+    # <1.5% while step latency doubles. (The old B=128 optimum was measured
+    # on the 145 ms exact-BN step, where BN-stats HBM traffic dominated.)
+    batch_size = int(os.environ.get("BENCH_BATCH", 256))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     hw = (256, 256)
 
