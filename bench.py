@@ -20,7 +20,10 @@ Hardware-truth accounting (VERDICT r1 #8): the extras carry `mfu` (model flops v
 197 TFLOP/s bf16 peak) and `hbm_util` (XLA cost-analysis bytes vs 819 GB/s peak) so
 progress is tracked against the v5e roofline, not a fiction. Round-2 finding: the
 step runs at ~90% of its HBM-bytes roofline (105.6 GB/step), i.e. the remaining
-headroom is in program bytes, not kernel tuning (docs/ROUND2_NOTES.md).
+headroom is in program bytes, not kernel tuning (docs/ROUND2_NOTES.md). Under the
+fused Pallas backbone (round 3+) the XLA cost analysis sees only the
+augmentation/optimizer residue, so `mfu` switches to an architecture-derived FLOP
+count and `hbm_util`/`step_gb` report null — no honest bytes number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
