@@ -34,6 +34,7 @@ model fine-tunes (argus/models.py:43).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -411,6 +412,175 @@ def _chain_fwd_pallas(x, pw, idws, S, interpret, G, save):
     return outs if save else outs[0]
 
 
+# ──────────── fully-packed no-save forward chain (F < 128, S == 1) ────────────
+#
+# Frozen stages run forward-only, and stage 0's F = 64 matmuls underfill the
+# MXU there: conv2's nine shifted (R,64)@(64,64) matmuls issue at ~16 TF/s
+# useful and the 1x1 legs carry K=64 or N=64 (docs/ROUND3_NOTES.md session-2
+# shape table). The round-3 pair-packed conv2 could not ship inside the
+# save/backward kernels because Mosaic rejects every route from the 64-lane h1
+# to the 128-lane packed form (block_fused._pair_packed). The no-save forward
+# admits a formulation with NO sub-128-lane cast anywhere:
+#
+#   * the chain input arrives pair-packed from HBM: one one-hot stride-(1,2)
+#     conv at the chain entry (the space_to_depth_conv trick — rides the conv
+#     custom-call tiling instead of a catastrophic small-C relayout);
+#   * the 1x1 convs use block-diagonal packed weights, so h1/h2 are BORN
+#     packed — (Rh, 2CIN)@(2CIN, 2F) and (Rh, 2F)@(2F, 2COUT) are full-lane
+#     matmuls (2x the useful FLOPs in the zero blocks; the bet is issue rate,
+#     and N=64 legs measured 5-10% of peak);
+#   * conv2 is the measured-2.2x pair-packed form (block_fused helpers);
+#   * the residual adds in packed space (identical q-major lane layout);
+#   * the exit unpack (Rh, 2COUT) -> (R, COUT) is a >=128-lane regroup, the
+#     class Mosaic accepts (proj_fused stride-2 views, _interleave2).
+#
+# Probe: .bench/probe_pack_chain.py. Packed weights are built outside the
+# kernel from the folded weights (tiny static concats, zero gathers).
+
+
+def _packed_fwd_ok(F, S, W_out, CIN, COUT):
+    return (
+        S == 1
+        and W_out % 2 == 0
+        and F < 128
+        and (2 * F) % 128 == 0
+        and (2 * CIN) % 128 == 0
+        and (2 * COUT) % 128 == 0
+        and os.environ.get("ARGUS_PACK_CHAIN", "1") == "1"
+    )
+
+
+def _blockdiag2(w):
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], 1), jnp.concatenate([z, w], 1)], 0
+    )
+
+
+def _pack_bias2(b):
+    return jnp.concatenate([b, b], -1)
+
+
+def _pack_cols_conv(x):
+    """(N, H, W, C) -> (N, H, W/2, 2C): adjacent column pairs side by side in
+    lanes (packed[n,h,j,q*C+c] = x[n,h,2j+q,c]), expressed as a one-hot
+    stride-(1,2) conv so it rides the conv custom-call's tiling (the same
+    rationale as models.resnet.space_to_depth_conv; 0/1 weights are exact in
+    any float dtype)."""
+    n, h, w, c = x.shape
+    eye = jnp.eye(c, dtype=x.dtype)
+    k = jnp.stack([eye, jnp.zeros_like(eye)], 0), jnp.stack(
+        [jnp.zeros_like(eye), eye], 0
+    )
+    kernel = jnp.concatenate(k, -1)[None]  # (1, 2, C, 2C)
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _id_fwd_core_packed(xp, w1p, b1p, w2p, b2p, w3p, b3p, G, H, Wp, F2):
+    """Identity bottleneck forward on pair-packed 2D rows xp (G*H*Wp, 2CIN);
+    same op order and dtype flow as _id_fwd_core."""
+    h1 = jnp.dot(xp, w1p, preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1p.astype(jnp.float32), 0.0).astype(xp.dtype)
+    h2, _ = _conv3x3_packed(h1, w2p, G, H, Wp, F2)
+    h2 = jnp.maximum(h2 + b2p.astype(jnp.float32), 0.0).astype(xp.dtype)
+    y = jnp.dot(h2, w3p, preferred_element_type=jnp.float32)
+    y = y + b3p.astype(jnp.float32) + xp.astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(xp.dtype)
+
+
+def _proj_fwd_core_packed(xp, w1p, b1p, w2p, b2p, w3p, b3p, wscp, bscp, G, H, Wp, F2):
+    """Projection bottleneck (S=1) forward on pair-packed rows; mirrors
+    _proj_fwd_core's op order."""
+    h1 = jnp.dot(xp, w1p, preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1p.astype(jnp.float32), 0.0).astype(xp.dtype)
+    h2, _ = _conv3x3_packed(h1, w2p, G, H, Wp, F2)
+    h2 = jnp.maximum(h2 + b2p.astype(jnp.float32), 0.0).astype(xp.dtype)
+    y = jnp.dot(h2, w3p, preferred_element_type=jnp.float32)
+    y = y + jnp.dot(xp, wscp, preferred_element_type=jnp.float32)
+    y = y + b3p.astype(jnp.float32) + bscp.astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(xp.dtype)
+
+
+def _make_fwd_kernel_packed(has_proj, K, G, H, Wp, CIN, F, COUT):
+    F2 = 2 * F
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        pw = [next(it) for _ in range(8)] if has_proj else None
+        idw = [[next(it) for _ in range(6)] for _ in range(K)]
+        out_ref = next(it)
+        cur = x_ref[...].reshape(G * H * Wp, 2 * CIN)
+        if has_proj:
+            cur = _proj_fwd_core_packed(
+                cur, pw[0][...], pw[1][...], pw[2], pw[3][...], pw[4][...],
+                pw[5][...], pw[6][...], pw[7][...], G, H, Wp, F2,
+            )
+        for j in range(K):
+            cur = _id_fwd_core_packed(
+                cur, idw[j][0][...], idw[j][1][...], idw[j][2], idw[j][3][...],
+                idw[j][4][...], idw[j][5][...], G, H, Wp, F2,
+            )
+        # exit unpack: (Rh, 2*COUT) -> (G, H, 2*Wp, COUT), >=128-lane regroup
+        out_ref[...] = cur.reshape(G, H, Wp, 2, COUT).reshape(G, H, 2 * Wp, COUT)
+
+    return kernel
+
+
+def _chain_fwd_packed(x, pw, idws, interpret, G):
+    """No-save forward chain in pair-packed layout; x is the UNPACKED
+    (N, H, W, CIN) input. Returns the unpacked (N, H, W, COUT) output."""
+    N, H, W, CIN = x.shape
+    has_proj = pw is not None
+    K = len(idws)
+    F = (pw[0] if has_proj else idws[0][0]).shape[1]
+    COUT = pw[4].shape[1] if has_proj else CIN
+    Wp = W // 2
+
+    xp = _pack_cols_conv(x)
+    in_specs = [_img_spec(G, H, Wp, 2 * CIN)]
+    operands = [xp]
+    if has_proj:
+        w1, b1, w2, b2, w3, b3, wsc, bsc = pw
+        in_specs += [
+            _w_spec(s)
+            for s in [
+                (2 * CIN, 2 * F), (1, 2 * F), (9, 2 * F, 2 * F), (1, 2 * F),
+                (2 * F, 2 * COUT), (1, 2 * COUT), (2 * CIN, 2 * COUT), (1, 2 * COUT),
+            ]
+        ]
+        operands += [
+            _blockdiag2(w1), _pack_bias2(b1), pack_w2_pairs(w2), _pack_bias2(b2),
+            _blockdiag2(w3), _pack_bias2(b3), _blockdiag2(wsc), _pack_bias2(bsc),
+        ]
+    for idw in idws:
+        w1, b1, w2, b2, w3, b3 = idw
+        in_specs += [
+            _w_spec(s)
+            for s in [
+                (2 * COUT, 2 * F), (1, 2 * F), (9, 2 * F, 2 * F), (1, 2 * F),
+                (2 * F, 2 * COUT), (1, 2 * COUT),
+            ]
+        ]
+        operands += [
+            _blockdiag2(w1), _pack_bias2(b1), pack_w2_pairs(w2), _pack_bias2(b2),
+            _blockdiag2(w3), _pack_bias2(b3),
+        ]
+
+    kernel = _make_fwd_kernel_packed(has_proj, K, G, H, Wp, CIN, F, COUT)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=in_specs,
+        out_specs=_img_spec(G, H, W, COUT),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, COUT), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
 def _chain_bwd_pallas(x, g, out, bnds, h1s, h2s, pw, idws, S, interpret, G):
     N, H, W, CIN = x.shape
     has_proj = pw is not None
@@ -509,6 +679,12 @@ def _xla_chain(x, pw, idws, S):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _stage_chain(x, pw, idws, S, impl, interpret, gsz):
     if _use_pallas(impl):
+        F = (pw[0] if pw is not None else idws[0][0]).shape[1]
+        COUT = pw[4].shape[1] if pw is not None else x.shape[3]
+        if _packed_fwd_ok(F, S, x.shape[2] // S, x.shape[3], COUT):
+            # frozen/no-grad path only (the primal): F < 128 stages run the
+            # pair-packed full-lane forward — see the section comment above
+            return _chain_fwd_packed(x, pw, idws, _interp(interpret), gsz)
         return _chain_fwd_pallas(x, pw, idws, S, _interp(interpret), gsz, save=False)
     return _xla_chain(x, pw, idws, S)
 

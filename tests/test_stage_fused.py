@@ -330,3 +330,62 @@ def test_model_frozen_stages_whole_chain_equivalence():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=3e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_packed_fwd_chain_matches_reference(monkeypatch):
+    """The fully-packed no-save forward chain (stage-0 geometry, F=64): the
+    pair-packed full-lane formulation must route on the primal path and
+    reproduce the composed reference math. Packing is value-exact up to f32
+    tap-accumulation order inside conv2."""
+    import argus_tpu.ops.pallas.stage_fused as sf
+
+    rng = np.random.default_rng(7)
+    cin, f, cout, S, n_id = 64, 64, 256, 1, 2  # stage-0 shapes (stride-1 entry)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, cin)), jnp.float32)
+    pw, idws = _mk_params(rng, cin, f, cout, n_id, True)
+
+    hits = []
+    orig = sf._chain_fwd_packed
+    monkeypatch.setattr(
+        sf, "_chain_fwd_packed", lambda *a, **k: (hits.append(1), orig(*a, **k))[1]
+    )
+    out_packed = sf.fused_stage(
+        x, pw, idws, stride=S, impl="pallas", interpret=True, chain_cap=3
+    )
+    assert hits, "packed forward chain did not engage at F=64 geometry"
+    out_ref = _ref_chain(x, pw, idws, S)
+    # conv2's packed form sums taps in a different f32 order; through a
+    # 3-block chain that is ~1e-5 relative
+    np.testing.assert_allclose(
+        np.asarray(out_packed), np.asarray(out_ref), rtol=2e-4, atol=1e-4
+    )
+
+    # gate respects the kill switch
+    hits.clear()
+    monkeypatch.setenv("ARGUS_PACK_CHAIN", "0")
+    out_off = sf.fused_stage(
+        x, pw, idws, stride=S, impl="pallas", interpret=True, chain_cap=3
+    )
+    assert not hits
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_ref), rtol=2e-4, atol=1e-4
+    )
+
+    # the differentiated (save/backward) path is untouched by the packed gate:
+    # identical grads with the gate on and off (the gate only sees the primal)
+    def loss(params):
+        pwv, idwsv = params
+        out = sf.fused_stage(x, pwv, idwsv, stride=S, impl="pallas", interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.setenv("ARGUS_PACK_CHAIN", "1")
+    g_on = jax.grad(loss)((pw, idws))
+    monkeypatch.setenv("ARGUS_PACK_CHAIN", "0")
+    g_off = jax.grad(loss)((pw, idws))
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_on),
+        jax.tree_util.tree_leaves_with_path(g_off),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa)
+        )
