@@ -86,6 +86,8 @@ for ph, label in [
     ("awbp", "no jiggle"),
     ("wjbp", "no arcs"),
     ("awjp", "no blurs"),
+    ("awjb", "no plasma"),
+    ("ajbp", "no planckian"),
 ]:
     ms = timed(ph)
     print(f"{label:22s} ({ph or '-':6s}): {ms:.3f} ms  (delta {base - ms:+.3f})", flush=True)
