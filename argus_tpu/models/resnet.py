@@ -576,6 +576,29 @@ class ResNet(nn.Module):
                 or (self.fuse_stem == "auto" and jax.default_backend() == "tpu")
             )
         )
+        # Will stage 0 run the PACKED frozen forward chain? Then the fused stem
+        # emits its pair-packed output layout directly: the stem's 64-lane
+        # output tiles (half-empty (8,128) HBM tiles) and the consumer-side
+        # relayout both disappear (stem_fused._forward_math_packed).
+        fuse_stg_pred = all(
+            f == "on" or (f == "auto" and jax.default_backend() == "tpu")
+            for f in (self.fuse_block, self.fuse_proj, self.fuse_stage)
+        )
+        if fuse_stem_on and fuse_stg_pred and self.frozen_stages >= 1:
+            from argus_tpu.ops.pallas.stage_fused import _packed_fwd_ok
+
+            stem_packed_out = (
+                self.block_cls is BottleneckBlock
+                and 0 in self.fuse_block_stages
+                and self.bn_frozen
+                and self.bn_frozen_affine
+                and _packed_fwd_ok(
+                    self.num_filters, 1, x.shape[2] // 4, self.num_filters,
+                    self.num_filters * self.block_cls.expansion,
+                )
+            )
+        else:
+            stem_packed_out = False
         # The stem is frozen under stem_frozen OR any frozen_stages depth. For
         # the fused stem, stop-gradient the kernel AT THE USE SITE: with no
         # tangent-carrying inputs the custom-VJP op runs its no-save primal,
@@ -594,6 +617,7 @@ class ResNet(nn.Module):
             x = fused_stem_pool(
                 x, k7, s0, b0, m0, v0, eps=self.norm_eps,
                 grad_stride=self.stem_grad_stride,
+                packed_out=stem_packed_out,
             )
         elif self.stem_space_to_depth:
             x = space_to_depth(x, 2)
@@ -688,7 +712,12 @@ class ResNet(nn.Module):
                 # remat flags don't apply here (docstring in stage_fused.py)
                 from argus_tpu.ops.pallas.stage_fused import fused_stage
 
-                n_, h_, w_ = x.shape[0], x.shape[1], x.shape[2]
+                packed_in = i == 0 and stem_packed_out
+                n_, h_ = x.shape[0], x.shape[1]
+                # with a packed stem handoff x is the (N, H, W/2, 2C) view;
+                # fold/grid geometry uses the LOGICAL shape
+                w_ = x.shape[2] * (2 if packed_in else 1)
+                cin_ = x.shape[-1] // (2 if packed_in else 1)
                 s0 = 2 if i > 0 else 1
                 cout = self.num_filters * 2**i * self.block_cls.expansion
                 folded = []
@@ -700,17 +729,25 @@ class ResNet(nn.Module):
                         norm=norm,
                         name=f"stage{i}_block{j}",
                     )
-                    xin = x if j == 0 else jax.ShapeDtypeStruct(
-                        (n_, h_ // s0, w_ // s0, cout), x.dtype
-                    )
+                    if j == 0:
+                        xin = (
+                            jax.ShapeDtypeStruct((n_, h_, w_, cin_), x.dtype)
+                            if packed_in
+                            else x
+                        )
+                    else:
+                        xin = jax.ShapeDtypeStruct(
+                            (n_, h_ // s0, w_ // s0, cout), x.dtype
+                        )
                     fw = blk(xin, fused_fold=True)
                     if frozen:
                         fw = jax.tree_util.tree_map(jax.lax.stop_gradient, fw)
                     folded.append(fw)
-                g = _grid_images(n_, h_, w_, x.shape[-1])
+                g = _grid_images(n_, h_, w_, cin_)
                 x = fused_stage(
                     x, folded[0], folded[1:], stride=s0, g=g,
                     chain_cap=block_count if frozen else 3,
+                    x_packed=packed_in,
                 )
             else:
                 block_cls = remat_cls if (self.remat or i in self.remat_stages) else self.block_cls

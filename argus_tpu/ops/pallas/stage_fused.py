@@ -524,17 +524,24 @@ def _make_fwd_kernel_packed(has_proj, K, G, H, Wp, CIN, F, COUT):
     return kernel
 
 
-def _chain_fwd_packed(x, pw, idws, interpret, G):
+def _chain_fwd_packed(x, pw, idws, interpret, G, pre_packed=False):
     """No-save forward chain in pair-packed layout; x is the UNPACKED
-    (N, H, W, CIN) input. Returns the unpacked (N, H, W, COUT) output."""
-    N, H, W, CIN = x.shape
+    (N, H, W, CIN) input, or — with `pre_packed` — the already-packed
+    (N, H, W/2, 2*CIN) view (e.g. the packed-output fused stem). Returns the
+    unpacked (N, H, W, COUT) output."""
+    if pre_packed:
+        xp = x
+        N, H, Wp, C2 = x.shape
+        W, CIN = 2 * Wp, C2 // 2
+    else:
+        N, H, W, CIN = x.shape
+        Wp = W // 2
+        xp = _pack_cols_conv(x)
     has_proj = pw is not None
     K = len(idws)
     F = (pw[0] if has_proj else idws[0][0]).shape[1]
     COUT = pw[4].shape[1] if has_proj else CIN
-    Wp = W // 2
 
-    xp = _pack_cols_conv(x)
     in_specs = [_img_spec(G, H, Wp, 2 * CIN)]
     operands = [xp]
     if has_proj:
@@ -671,8 +678,18 @@ def _xla_chain(x, pw, idws, S):
 # ─────────────────────────── public op (custom VJP) ───────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _stage_chain(x, pw, idws, S, impl, interpret, gsz):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _stage_chain(x, pw, idws, S, impl, interpret, gsz, x_packed=False):
+    if x_packed:
+        # x is the pair-packed (N, H, W/2, 2*CIN) view (packed-output stem);
+        # frozen-only, so only this primal ever sees it
+        assert S == 1, "packed chain input requires a stride-1 stage"
+        if _use_pallas(impl):
+            return _chain_fwd_packed(
+                x, pw, idws, _interp(interpret), gsz, pre_packed=True
+            )
+        n, h, wp, c2 = x.shape
+        return _xla_chain(x.reshape(n, h, 2 * wp, c2 // 2), pw, idws, S)
     if _use_pallas(impl):
         F = (pw[0] if pw is not None else idws[0][0]).shape[1]
         COUT = pw[4].shape[1] if pw is not None else x.shape[3]
@@ -684,7 +701,8 @@ def _stage_chain(x, pw, idws, S, impl, interpret, gsz):
     return _xla_chain(x, pw, idws, S)
 
 
-def _stage_chain_fwd(x, pw, idws, S, impl, interpret, gsz):
+def _stage_chain_fwd(x, pw, idws, S, impl, interpret, gsz, x_packed=False):
+    assert not x_packed, "packed chain input is forward-only (frozen stages)"
     if _use_pallas(impl):
         nblocks = (1 if pw is not None else 0) + len(idws)
         outs = _chain_fwd_pallas(x, pw, idws, S, _interp(interpret), gsz, save=True)
@@ -698,7 +716,7 @@ def _stage_chain_fwd(x, pw, idws, S, impl, interpret, gsz):
     return out, (x, pw, idws, None, None, None, None)
 
 
-def _stage_chain_bwd(S, impl, interpret, gsz, resids, g):
+def _stage_chain_bwd(S, impl, interpret, gsz, x_packed, resids, g):
     x, pw, idws, out, bnds, h1s, h2s = resids
     has_proj = pw is not None
     if _use_pallas(impl):
@@ -764,6 +782,7 @@ def fused_stage(
     interpret: Optional[bool] = None,
     g: int = 1,
     chain_cap: int = 3,
+    x_packed: bool = False,
 ) -> jnp.ndarray:
     """Run a whole ResNet stage (projection entry + identity blocks) as fused
     Pallas chain kernels. Weights are the FOLDED effective weights (frozen BN
@@ -778,6 +797,13 @@ def fused_stage(
     VMEM-resident."""
     ids = list(id_folded)
     nblocks = (1 if proj_folded is not None else 0) + len(ids)
+    if x_packed:
+        # packed input comes from the packed-output stem, which only engages
+        # for frozen stages — and frozen stages chain whole (cap=block_count)
+        assert nblocks <= chain_cap, "packed-input stages must chain whole"
+        return _stage_chain(
+            x, proj_folded, tuple(ids), stride, impl, interpret, g, True
+        )
     if nblocks <= chain_cap:
         return _stage_chain(x, proj_folded, tuple(ids), stride, impl, interpret, g)
     head = chain_cap - (1 if proj_folded is not None else 0)

@@ -137,9 +137,49 @@ def _forward_math(x4, w, b, G, HS, WS):
     return pool, yg, x4p
 
 
+def _forward_math_packed(x4, w, b, G, HS, WS):
+    """No-save forward with PAIR-PACKED pool output (G, HS, WS/2, 128):
+    out[..., j, r*64+c] = pool[..., 2j+r, c]. Feeds the packed frozen stage-0
+    chain (stage_fused._chain_fwd_packed) directly, so neither the stem's
+    64-lane output tiles (half-empty (8,128) HBM tiles) nor the consumer-side
+    relayout exist. The stride-2 column selection rides the merged-lane parity
+    view (_stride2_tap's accepted idiom: yg has 256 lanes, merged 512); the
+    only lane-size-changing op is ONE explicit 64||64 concat on the result."""
+    x4p = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = _conv_packed(x4p, w, G, HS, WS)
+    y = jnp.maximum(acc + b, 0.0).astype(x4.dtype)
+    yg = y.reshape(G, HS, WS, 256)
+    # pad W by (1, 1): start-pad for the pool window, end-pad so the W dim is
+    # even for the parity view (the end column is only read by the s=2 taps,
+    # whose window covers col WS-1 = real data; the pad col itself is never a
+    # window member for any in-range output)
+    ygp = jnp.pad(yg, ((0, 0), (1, 0), (1, 1), (0, 0)))
+    v = ygp.reshape(G, HS + 1, (WS + 2) // 2, 512)
+    pools = []
+    for r in (0, 1):
+        pool = None
+        for dA, p in _POOL_TERMS:
+            for dB, q in _POOL_TERMS:
+                o = (p * 2 + q) * 64
+                m, qq = divmod(1 + r + dB, 2)
+                t = v[
+                    :, 1 + dA : 1 + dA + HS, m : m + WS // 2,
+                    qq * 256 + o : qq * 256 + o + 64,
+                ]
+                pool = t if pool is None else jnp.maximum(pool, t)
+        pools.append(pool)
+    return jnp.concatenate(pools, axis=-1)  # (G, HS, WS/2, 128)
+
+
 def _stem_fwd_kernel(x4_ref, w_ref, b_ref, out_ref, *, G, HS, WS):
     pool, _, _ = _forward_math(x4_ref[...], w_ref[...], b_ref[...], G, HS, WS)
     out_ref[...] = pool
+
+
+def _stem_fwd_packed_kernel(x4_ref, w_ref, b_ref, out_ref, *, G, HS, WS):
+    out_ref[...] = _forward_math_packed(
+        x4_ref[...], w_ref[...], b_ref[...], G, HS, WS
+    )
 
 
 def _stem_fwd_save_kernel(x4_ref, w_ref, b_ref, out_ref, yg_ref, *, G, HS, WS):
@@ -219,6 +259,24 @@ def _stem_fwd_pallas(x4, w, b, interpret: bool, G: int = 1):
     )(x4, w, b)
 
 
+def _stem_fwd_packed_pallas(x4, w, b, interpret: bool, G: int = 1):
+    N, HS, WS, _ = x4.shape
+    kernel = functools.partial(_stem_fwd_packed_kernel, G=G, HS=HS, WS=WS)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=[
+            pl.BlockSpec((G, HS, WS, 48), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, 48, 256), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, HS, WS // 2, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, HS, WS // 2, 128), x4.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x4, w, b)
+
+
 def _stem_fwd_save_pallas(x4, w, b, interpret: bool, G: int = 1):
     N, HS, WS, _ = x4.shape
     kernel = functools.partial(_stem_fwd_save_kernel, G=G, HS=HS, WS=WS)
@@ -283,14 +341,24 @@ def _xla_stem_pool(x4, w, b):
 # ─────────────────────────── public op (custom VJP) ───────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _stem_pool(x4, w, b, impl, interpret, gsz=1, grad_stride=1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _stem_pool(x4, w, b, impl, interpret, gsz=1, grad_stride=1, packed_out=False):
     if _use_pallas(impl):
+        if packed_out:
+            return _stem_fwd_packed_pallas(x4, w, b, _interp(interpret), gsz)
         return _stem_fwd_pallas(x4, w, b, _interp(interpret), gsz)
-    return _xla_stem_pool(x4, w, b)
+    out = _xla_stem_pool(x4, w, b)
+    if packed_out:
+        n, hs, ws, c = out.shape
+        out = out.reshape(n, hs, ws // 2, 2 * c)  # linear-order identity
+    return out
 
 
-def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1, grad_stride=1):
+def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1, grad_stride=1, packed_out=False):
+    # packed_out is frozen-stem-only (the caller gates on frozen_stages >= 1,
+    # which stop-gradients every input) — a differentiated packed stem would
+    # need a packed-cotangent backward that does not exist
+    assert not packed_out, "packed_out stem is forward-only (frozen stem)"
     if _use_pallas(impl):
         # save yg (conv+relu, parity-packed) so the backward skips the conv
         # recompute; the no-save forward stays the primal for eval/inference
@@ -299,7 +367,7 @@ def _stem_pool_fwd(x4, w, b, impl, interpret, gsz=1, grad_stride=1):
     return _xla_stem_pool(x4, w, b), (x4, None, None, w, b)
 
 
-def _stem_pool_bwd(impl, interpret, gsz, grad_stride, resids, g):
+def _stem_pool_bwd(impl, interpret, gsz, grad_stride, packed_out, resids, g):
     """Subsampled stem weight-grad (grad_stride > 1): compute dW on the FIRST
     N/grad_stride images of the batch and scale — the stem backward is ~70%
     maxpool-cotangent ROUTING for <2.5% of model FLOPs
@@ -341,8 +409,12 @@ def fused_stem_pool(
     interpret: Optional[bool] = None,
     gsz: int = 1,
     grad_stride: int = 1,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
-    """Full fused stem: NHWC image (N, H, W, 3) -> (N, H/4, W/4, 64).
+    """Full fused stem: NHWC image (N, H, W, 3) -> (N, H/4, W/4, 64), or the
+    PAIR-PACKED (N, H/4, W/8, 128) view of the same values when `packed_out`
+    (column pairs in lanes — the layout the packed frozen stage-0 chain
+    consumes; frozen-stem/forward-only).
 
     Space-to-depth happens here in XLA. On TPU it rides a one-hot stride-4
     conv (space_to_depth_conv): the reshape/transpose formulation with C=3 in
@@ -362,4 +434,4 @@ def fused_stem_pool(
     # resolves at trace time
     if x4.shape[0] % (max(grad_stride, 1) * gsz) != 0:
         grad_stride = 1
-    return _stem_pool(x4, W, b, impl, interpret, gsz, grad_stride)
+    return _stem_pool(x4, W, b, impl, interpret, gsz, grad_stride, packed_out)

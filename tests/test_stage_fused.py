@@ -389,3 +389,26 @@ def test_packed_fwd_chain_matches_reference(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa)
         )
+
+
+def test_packed_fwd_chain_pre_packed_input():
+    """x_packed=True: the chain consumes the pair-packed (N, H, W/2, 2C) view
+    directly (the packed-output stem handoff) — same values as feeding the
+    unpacked array, through the interpret-mode Pallas kernel and the XLA
+    fallback."""
+    rng = np.random.default_rng(11)
+    cin, f, cout, n_id = 64, 64, 256, 2
+    n, h, w = 2, 8, 8
+    x = jnp.asarray(rng.normal(0, 0.5, (n, h, w, cin)), jnp.float32)
+    xp = x.reshape(n, h, w // 2, 2 * cin)  # linear-order identity
+    pw, idws = _mk_params(rng, cin, f, cout, n_id, True)
+
+    ref = _ref_chain(x, pw, idws, 1)
+    for impl in ("pallas", "xla"):
+        got = fused_stage(
+            xp, pw, idws, stride=1, impl=impl, interpret=True,
+            chain_cap=3, x_packed=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-4, err_msg=impl
+        )

@@ -177,3 +177,87 @@ def test_stem_grad_stride_subsamples_and_scales():
             np.asarray(g_strided), 2.0 * np.asarray(g_half), rtol=1e-4, atol=1e-6,
             err_msg=impl,
         )
+
+
+def test_stem_packed_out_matches_unpacked():
+    """packed_out emits the pair-packed (N, HS, WS/2, 128) view of the exact
+    same pool values (out[..., j, r*64+c] == pool[..., 2j+r, c]), through both
+    the interpret-mode Pallas kernel and the XLA fallback."""
+    x, k7, scale, bias, mean, var = _inputs()
+    for impl in ("pallas", "xla"):
+        ref = fused_stem_pool(
+            x, k7, scale, bias, mean, var, impl=impl, interpret=True
+        )
+        got = fused_stem_pool(
+            x, k7, scale, bias, mean, var, impl=impl, interpret=True,
+            packed_out=True,
+        )
+        n, hs, wsp, c2 = got.shape
+        assert (hs, wsp, c2) == (ref.shape[1], ref.shape[2] // 2, 128)
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(n, hs, 2 * wsp, 64), np.asarray(ref),
+            rtol=1e-6, atol=1e-6, err_msg=impl,
+        )
+
+
+def test_model_level_packed_stem_handoff():
+    """frozen_stages=1 with every fuse option ON routes the stem's packed
+    output straight into the packed stage-0 chain (XLA fallback math on CPU —
+    the plumbing and shape logic under test; kernels are pinned above and in
+    test_stage_fused): outputs must match the unfused frozen model."""
+    from argus_tpu.models import NCameraCNN, NCameraCNNConfig
+
+    kw = dict(
+        n_cams=1,
+        backbone="resnet50",
+        resnet_output_dim=8,
+        bn_frozen=True,
+        bn_frozen_affine=True,
+        frozen_stages=1,
+    )
+    m_ref = NCameraCNN(NCameraCNNConfig(**kw))
+    m_fused = NCameraCNN(
+        NCameraCNNConfig(
+            **kw, fuse_block="on", fuse_proj="on", fuse_stage="on", fuse_stem="on"
+        )
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0.45, 0.2, (2, 64, 64, 3)), jnp.float32
+    )
+    v_ref = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    v_fused = m_fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_fused)
+
+    out_ref = m_ref.apply(v_ref, x, train=False)
+    out_fused = m_fused.apply(v_fused, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+    # and the packed handoff must survive a grad trace (frozen stage-0 carries
+    # no gradient; deeper grads match the reference model)
+    def loss(model, variables):
+        def f(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True,
+            )
+            return jnp.sum(out**2)
+
+        return jax.grad(f)(variables["params"])
+
+    g_ref = loss(m_ref, v_ref)
+    g_fused = loss(m_fused, v_fused)
+    bb = g_fused["backbone"]
+    for name in [k for k in bb if k == "conv_init" or k.startswith("stage0_")]:
+        assert all(
+            float(jnp.abs(l).max()) == 0.0 for l in jax.tree_util.tree_leaves(bb[name])
+        ), name
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fused),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=3e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
