@@ -71,9 +71,83 @@ _CORNER_COLORS = np.array(
 )
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RenderStyle:
+    """Nuisance-parameter distribution for the corner renderer — the knob that
+    makes TRANSFER-shifted accuracy protocols possible (VERDICT r3 #1): pretrain
+    on one rendering distribution, fine-tune on a disjoint one, the synthetic
+    analog of the reference's ImageNet-pretrain -> Unity-sim fine-tune
+    (reference: argus/models.py:43 pretrained=True; domain randomization knobs
+    it shifts: argus/data_generation.py:46-107 camera/light perturbations).
+
+    The pose -> corner-projection TASK (nominal cameras, corner color identity)
+    is shared across styles; only nuisance appearance shifts.
+
+    Fields:
+        bg_base: background gray value (0-255).
+        bg_noise: per-pixel uniform noise amplitude.
+        checker: checkerboard tile size in px (0 = flat background).
+        checker_contrast: +- value of the checker squares.
+        light_gradient: amplitude of a random-direction linear brightness ramp.
+        dot_radius_scale: corner-dot radius multiplier.
+        cam_jitter_px: per-image Gaussian jitter of the projected uv, in px at
+            the render resolution (camera-pose perturbation analog).
+        distractors: count of random non-corner gray squares (occluder analog).
+        color_jitter: multiplicative corner-color jitter amplitude.
+    """
+
+    bg_base: int = 40
+    bg_noise: float = 0.0
+    checker: int = 0
+    checker_contrast: int = 0
+    light_gradient: float = 0.0
+    dot_radius_scale: float = 1.0
+    cam_jitter_px: float = 0.0
+    distractors: int = 0
+    color_jitter: float = 0.0
+
+
+# Disjoint style pair for the transfer-shifted protocol. Every nuisance knob
+# differs: PRETRAIN_STYLE is the "generic webcrawl-ish" distribution (textured,
+# noisy, big dots, strong lighting, larger camera jitter, occluders);
+# FINETUNE_STYLE is the "target sim" (near-flat dark background, small clean
+# dots, mild lighting, small camera jitter, no occluders).
+PRETRAIN_STYLE = RenderStyle(
+    bg_base=90, bg_noise=25.0, checker=32, checker_contrast=18,
+    light_gradient=35.0, dot_radius_scale=1.5, cam_jitter_px=4.0,
+    distractors=3, color_jitter=0.18,
+)
+FINETUNE_STYLE = RenderStyle(
+    bg_base=40, bg_noise=4.0, checker=0, checker_contrast=0,
+    light_gradient=10.0, dot_radius_scale=1.0, cam_jitter_px=1.0,
+    distractors=0, color_jitter=0.05,
+)
+
+
+def _styled_background(rng: np.random.Generator, height: int, width: int, style: RenderStyle) -> np.ndarray:
+    """(H, W, 3) float32 background drawn from the style's nuisance distribution."""
+    img = np.full((height, width, 3), float(style.bg_base), np.float32)
+    if style.checker:
+        yy, xx = np.mgrid[0:height, 0:width]
+        mask = ((yy // style.checker + xx // style.checker) % 2).astype(np.float32)
+        img += (mask * 2.0 - 1.0)[..., None] * style.checker_contrast
+    if style.light_gradient:
+        theta = rng.uniform(0.0, 2.0 * np.pi)
+        yy, xx = np.mgrid[0:height, 0:width]
+        ramp = (xx / width - 0.5) * np.cos(theta) + (yy / height - 0.5) * np.sin(theta)
+        img += 2.0 * style.light_gradient * ramp.astype(np.float32)[..., None]
+    if style.bg_noise:
+        img += rng.uniform(-style.bg_noise, style.bg_noise, (height, width, 3)).astype(np.float32)
+    return img
+
+
 def _render_corner_projection(
     pose_wxyz: np.ndarray, height: int, width: int, P: np.ndarray = None,
-    corners: np.ndarray = None,
+    corners: np.ndarray = None, style: "RenderStyle" = None,
+    rng: np.random.Generator = None,
 ) -> list:
     """Render BOTH cameras' views of the posed cube's 8 corners, projected with the
     rig's nominal camera matrices (models.keypoint_net.nominal_camera_matrices) —
@@ -101,16 +175,38 @@ def _render_corner_projection(
     rot = R.from_quat(np.concatenate([q_wxyz[1:], q_wxyz[:1]])).as_matrix()
     pts = corners @ rot.T + t  # (8, 3) world
     r = max(2, min(height, width) // 42)
+    if style is not None:
+        assert rng is not None, "styled rendering needs an explicit rng"
+        r = max(2, int(round(r * style.dot_radius_scale)))
+        colors = np.clip(
+            _CORNER_COLORS.astype(np.float32)
+            * (1.0 + rng.uniform(-style.color_jitter, style.color_jitter, (8, 1))),
+            0, 255,
+        )
+    else:
+        colors = _CORNER_COLORS.astype(np.float32)
     imgs = []
     for cam in range(2):
-        img = np.full((height, width, 3), 40, np.uint8)
+        if style is not None:
+            img = _styled_background(rng, height, width, style)
+            for _ in range(style.distractors):
+                dr = rng.integers(r, 3 * r + 1)
+                du = rng.integers(0, width)
+                dv = rng.integers(0, height)
+                shade = rng.uniform(20, 160)
+                img[max(0, dv - dr) : dv + dr, max(0, du - dr) : du + dr] = shade
+        else:
+            img = np.full((height, width, 3), 40.0, np.float32)
         uvw = np.concatenate([pts, np.ones((8, 1))], axis=1) @ P[cam].T  # (8, 3)
         uv = uvw[:, :2] / uvw[:, 2:3]
+        if style is not None and style.cam_jitter_px:
+            # one rigid shift per camera view: the camera moved, not the corners
+            uv = uv + rng.normal(0.0, style.cam_jitter_px, (1, 2))
         for k in range(8):
             u, v = int(round(uv[k, 0])), int(round(uv[k, 1]))
             if -r < u < width + r and -r < v < height + r:
-                img[max(0, v - r) : v + r, max(0, u - r) : u + r] = _CORNER_COLORS[k]
-        imgs.append(img)
+                img[max(0, v - r) : v + r, max(0, u - r) : u + r] = colors[k]
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
     return imgs
 
 
@@ -124,6 +220,7 @@ def write_synthetic_dataset(
     seed: int = 0,
     q_leap_dim: int = 16,
     pose_encoded=False,
+    style: RenderStyle = None,
 ) -> str:
     """Write a complete synthetic dataset to `out_dir`. Returns `out_dir`.
 
@@ -133,6 +230,10 @@ def write_synthetic_dataset(
         translation signal, end-to-end learning demo);
       * "corners" — the 8 cube corners projected through the rig's nominal camera
         matrices into both views (full 6-DoF learnable; the accuracy proxy).
+
+    `style` (corners mode only) draws every image's nuisance appearance from a
+    RenderStyle — the lever for transfer-shifted protocols (PRETRAIN_STYLE vs
+    FINETUNE_STYLE are disjoint in every nuisance knob).
     """
     import h5py
     from PIL import Image
@@ -158,7 +259,9 @@ def write_synthetic_dataset(
         poses_all = None
     for i in range(n_total):
         if pose_encoded == "corners":
-            pair = _render_corner_projection(poses_all[i], height, width, cam_P, corners)
+            pair = _render_corner_projection(
+                poses_all[i], height, width, cam_P, corners, style=style, rng=rng
+            )
         for cam, suffix in enumerate(("a", "b")):
             if pose_encoded == "corners":
                 arr = pair[cam]

@@ -1,32 +1,37 @@
-"""Repeatable accuracy A/B: pretrain with exact BN, branch into exact-BN vs
-frozen-BN fine-tunes, report pose errors — as a JSON artifact.
+"""Repeatable accuracy A/B: pretrain, branch into fine-tune arms, report pose
+errors — as a JSON artifact (ACCURACY_r{N}.json, recorded per round).
 
-This promotes the round-2 one-off (.bench/convergence_ab.py, gitignored logs)
-into a tracked, one-command artifact (VERDICT r2 #5): accuracy is recorded per
-round alongside BENCH. Protocol — the honest analog of the reference's
-ImageNet-pretrained fine-tune (argus/models.py:43; no downloadable weights in
-this environment):
+Two protocols:
 
-  1. "pretrain": exact train-mode BN from random init on the synthetic corners
-     dataset (data/synthetic.py pose_encoded="corners" — full 6-DoF signal),
-     so the running statistics become meaningful;
-  2. branch the SAME snapshot into the fine-tune ARMS (exact BN; frozen BN;
-     + frozen stem; + subsampled stem grad; + progressively frozen stages),
-     `arm_seeds` batch-order seeds each, fresh optimizer state per run; report
-     TRAIN-set rotation (deg) and translation (cm) errors, mean + per-run.
+  * "shifted" (default, round 4+): TRANSFER-shifted — pretrain on one rendering
+    distribution (data/synthetic.py PRETRAIN_STYLE: textured noisy backgrounds,
+    big jittered dots, occluders), fine-tune on a DISJOINT one (FINETUNE_STYLE:
+    near-flat dark background, small clean dots). This is the honest synthetic
+    analog of the reference's ImageNet-pretrain -> Unity-sim fine-tune
+    (argus/models.py:43 pretrained=True; argus/train.py:315-320 full backprop).
+    It fixes the round-3 protocol's structural bias (VERDICT r3 #1): pretraining
+    on the SAME distribution it fine-tunes on favors freezing, because the
+    frozen features are already exactly the target features.
+  * "same": the round-3 protocol (pretrain == fine-tune distribution), kept so
+    the two can be compared.
 
-Round-3 result (3 seeds/arm, ACCURACY_r03.json): progressive freezing is BOTH
-the accuracy and the speed order — exact 8.53 deg, frozen BN 8.42, frozen stem
-6.35, frozen stages 0-1 5.33 deg / 1.38 cm at 52.2 ms/step. The generic
-pretrained early layers act as a fixed feature extractor / regularizer at this
-dataset scale.
+Errors are reported on the fine-tune distribution's HELD-OUT TEST split (the
+generalization number — round 3 reported train-set errors) AND on its train
+split (fit number), per arm, mean over `arm_seeds` batch-order seeds.
+
+Arms: exact BN full backprop; frozen BN; + frozen stem; progressive frozen
+stages 1-4 (the bench-default ladder); and "keypoint" — the corner-heatmap +
+triangulation/Procrustes family (VERDICT r3 #5), trained with its own
+pretrain -> fine-tune under the same shift and scored on the same geodesic
+pose-error metrics via fit_pose.
 
 Usage:
-    python scripts/convergence_ab.py --out ACCURACY_r03.json \
-        [--pretrain-epochs 90] [--finetune-epochs 40]
+    python scripts/convergence_ab.py --out ACCURACY_r04.json
+    python scripts/convergence_ab.py --protocol same --pretrain-epochs 90 ...
 
-The pretrain snapshot is cached under /tmp keyed by epoch count, so re-runs
-re-measure only the fine-tune arms.
+Pretrain snapshots + datasets are cached under /tmp keyed by protocol/size, so
+re-runs re-measure only the fine-tune arms; results for arms already in `out`
+are merged, not re-run.
 """
 
 import json
@@ -46,19 +51,27 @@ class ABConfig:
 
     Fields:
         out: output JSON path.
-        pretrain_epochs: exact-BN pretrain length.
+        protocol: "shifted" (disjoint pretrain/fine-tune render styles) or
+            "same" (round-3 protocol: one distribution for both).
+        pretrain_epochs: pretrain length (exact train-mode BN from random init).
         finetune_epochs: length of each fine-tune arm.
         batch_size: minibatch size (the reference's default 32).
-        n_train: synthetic corners dataset size.
+        n_pretrain: pretrain dataset size (shifted protocol; "same" reuses
+            n_train).
+        n_train: fine-tune dataset size.
         seed: dataset + init seed.
     """
 
     out: str = "ACCURACY.json"
-    pretrain_epochs: int = 90
+    protocol: str = "shifted"
+    pretrain_epochs: int = 60
     finetune_epochs: int = 40
     batch_size: int = 32
+    n_pretrain: int = 512
     n_train: int = 256
     seed: int = 5
+    # render resolution (256 = the reference crop; smaller for CPU smoke tests)
+    resolution: int = 256
     # fine-tune repeats per arm (distinct batch-order seeds). Single-seed
     # arms measured +-2.5 deg run-to-run at this scale (frozenstem: 11.8 then
     # 6.57 deg under the identical protocol) — smaller than the effects being
@@ -67,7 +80,7 @@ class ABConfig:
     # comma-separated fine-tune arms to run this invocation; results MERGE
     # into an existing `out` JSON (same dataset/protocol) so new arms can be
     # measured without re-running the settled ones.
-    arms: str = "exact,frozen,frozenstem,stemgrad4,stage1,stage2,stage3"
+    arms: str = "exact,frozen,frozenstem,stage1,stage2,stage3,stage4,keypoint"
 
 
 def run(cfg: ABConfig) -> dict:
@@ -82,9 +95,18 @@ def run(cfg: ABConfig) -> dict:
 
     from argus_tpu.checkpoint import load_checkpoint, save_checkpoint
     from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig
-    from argus_tpu.data.synthetic import write_synthetic_dataset
+    from argus_tpu.data.synthetic import (
+        FINETUNE_STYLE,
+        PRETRAIN_STYLE,
+        write_synthetic_dataset,
+    )
     from argus_tpu.geom import pose_errors, se3_exp
     from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.models.keypoint_net import (
+        CubeKeypointNetConfig,
+        fit_pose,
+        nominal_camera_matrices,
+    )
     from argus_tpu.train import (
         TrainConfig,
         create_train_state,
@@ -93,65 +115,111 @@ def run(cfg: ABConfig) -> dict:
     )
 
     B = cfg.batch_size
-    # default config reuses the round-2 cache names (dataset + pretrain snapshot)
-    default = cfg.n_train == 256 and cfg.seed == 5
-    ds_dir = "/tmp/corners256" if default else f"/tmp/corners256_n{cfg.n_train}_s{cfg.seed}"
-    if not os.path.exists(os.path.join(ds_dir, f"{os.path.basename(ds_dir)}.hdf5")):
-        write_synthetic_dataset(
-            ds_dir, n_train=cfg.n_train, n_test=64, height=256, width=256,
-            seed=cfg.seed, pose_encoded="corners",
-        )
+    shifted = cfg.protocol == "shifted"
+    assert cfg.protocol in ("shifted", "same"), cfg.protocol
 
-    ds = CameraCubePoseDataset(CameraCubePoseDatasetConfig(ds_dir), train=True)
-    idxs = list(range(len(ds)))
-    imgs = np.asarray(ds.load_images_batch(idxs))
-    poses = np.asarray(ds.cube_poses[idxs], np.float32)
-    # keep the whole dataset DEVICE-resident and gather batches on-device:
-    # per-step host batch feeds cost ~0.7 s per 12.5 MB through the harness
-    # tunnel (CLAUDE.md) — ~10x the step itself. One 100 MB upload instead.
-    d_imgs = jnp.asarray(imgs)
-    d_poses = jnp.asarray(poses)
-    ev_imgs = d_imgs[:64]
-    ev_poses = d_poses[:64]
+    res = cfg.resolution
+
+    def ensure_dataset(ds_dir, n_train, n_test, seed, style):
+        if not os.path.exists(os.path.join(ds_dir, f"{os.path.basename(ds_dir)}.hdf5")):
+            write_synthetic_dataset(
+                ds_dir, n_train=n_train, n_test=n_test, height=res, width=res,
+                seed=seed, pose_encoded="corners", style=style,
+            )
+        return ds_dir
+
+    if shifted:
+        pre_dir = ensure_dataset(
+            f"/tmp/corners_preA_n{cfg.n_pretrain}_s{cfg.seed}_r{res}",
+            cfg.n_pretrain, 8, cfg.seed, PRETRAIN_STYLE,
+        )
+        # different writer seed: pretrain/fine-tune share NOTHING — not poses,
+        # not nuisance draws
+        ft_dir = ensure_dataset(
+            f"/tmp/corners_ftB_n{cfg.n_train}_s{cfg.seed}_r{res}",
+            cfg.n_train, 64, cfg.seed + 1000, FINETUNE_STYLE,
+        )
+    else:
+        default = cfg.n_train == 256 and cfg.seed == 5
+        ds_dir = "/tmp/corners256" if default else f"/tmp/corners256_n{cfg.n_train}_s{cfg.seed}"
+        pre_dir = ft_dir = ensure_dataset(ds_dir, cfg.n_train, 64, cfg.seed, None)
+
+    def resident(ds_dir, train):
+        """Whole split DEVICE-resident: per-step host batch feeds cost ~0.7 s
+        per 12.5 MB through the harness tunnel (CLAUDE.md) — ~10x the step
+        itself. One bulk upload instead; batches gather on-device."""
+        ds = CameraCubePoseDataset(CameraCubePoseDatasetConfig(ds_dir), train=train)
+        idxs = list(range(len(ds)))
+        imgs = np.asarray(ds.load_images_batch(idxs))
+        poses = np.asarray(ds.cube_poses[idxs], np.float32)
+        return jnp.asarray(imgs), jnp.asarray(poses)
+
+    pre_imgs, pre_poses = resident(pre_dir, train=True)
+    ft_imgs, ft_poses = (pre_imgs, pre_poses) if pre_dir == ft_dir else resident(ft_dir, True)
+    ev_imgs, ev_poses = resident(ft_dir, train=False)  # held-out TEST split
+    tr_imgs, tr_poses = ft_imgs[:64], ft_poses[:64]  # fit-number probe
 
     def make(mode):
-        frozen = mode != "exact"
-        tc = TrainConfig(
-            model_config=NCameraCNNConfig(
-                n_cams=2, backbone="resnet50", resnet_output_dim=1024,
-                bn_frozen=frozen, bn_frozen_affine=frozen,
-                stem_frozen=(mode == "frozenstem"),
-                stem_grad_stride=int(mode[8:]) if mode.startswith("stemgrad") else 1,
-                # "stageK" = progressive layer freezing: frozen BN + stem +
-                # stages 0..K-1 (models/resnet.py frozen_stages)
-                frozen_stages=int(mode[5:]) if mode.startswith("stage") else 0,
-            ),
-            use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
-        )
-        model, state = create_train_state(tc, jax.random.PRNGKey(0), (256, 256))
-        return tc, model, state, make_train_step(model, tc, base_seed=0)
+        if mode == "keypoint":
+            tc = TrainConfig(
+                model_type="keypoint",
+                keypoint_config=CubeKeypointNetConfig(),
+                use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
+            )
+        else:
+            frozen = mode != "exact"
+            tc = TrainConfig(
+                model_config=NCameraCNNConfig(
+                    n_cams=2, backbone="resnet50", resnet_output_dim=1024,
+                    bn_frozen=frozen, bn_frozen_affine=frozen,
+                    stem_frozen=(mode == "frozenstem"),
+                    stem_grad_stride=int(mode[8:]) if mode.startswith("stemgrad") else 1,
+                    # "stageK" = progressive layer freezing: frozen BN + stem +
+                    # stages 0..K-1 (models/resnet.py frozen_stages)
+                    frozen_stages=int(mode[5:]) if mode.startswith("stage") else 0,
+                ),
+                use_augmentation=False, amp=True, wandb_log=False, learning_rate=1e-4,
+            )
+        model, state = create_train_state(tc, jax.random.PRNGKey(0), (res, res))
+        return tc, model, state, make_train_step(model, tc, base_seed=0, hw=(res, res))
 
-    def errs(model, params, batch_stats):
+    cam_P = nominal_camera_matrices(res, res)
+
+    def make_errs(model, keypoint=False):
         @jax.jit
         def predict(params, batch_stats, images):
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images.astype(jnp.float32) / 255.0, train=False,
             )
+            if keypoint:
+                uv, _ = out
+                return fit_pose(cam_P, uv)
             return se3_exp(out)
 
-        rot, tr = pose_errors(predict(params, batch_stats, ev_imgs), ev_poses)
-        return {"rot_deg": round(float(jnp.mean(rot)), 2),
-                "trans_cm": round(float(jnp.mean(tr)) * 100, 2)}
+        def errs(params, batch_stats):
+            out = {}
+            for tag, imgs, poses in (("", ev_imgs, ev_poses), ("train_", tr_imgs, tr_poses)):
+                rot, tr = pose_errors(predict(params, batch_stats, imgs), poses)
+                out[f"{tag}rot_deg"] = round(float(jnp.mean(rot)), 2)
+                out[f"{tag}trans_cm"] = round(float(jnp.mean(tr)) * 100, 2)
+            return out
 
-    def train_epochs(state, step, n, tag):
-        rng = np.random.default_rng(hash(tag) % 2**31)
+        return errs
+
+    def train_epochs(state, step, n, tag, d_imgs, d_poses):
+        import zlib
+
+        # crc32, not hash(): str hash is salted per process — batch orders must
+        # be reproducible across invocations (merge mode re-runs single arms)
+        rng = np.random.default_rng(zlib.crc32(tag.encode()))
         t0 = time.perf_counter()
         loss = None
         mask = jnp.ones((B,), jnp.float32)
+        n_ex = int(d_imgs.shape[0])
         for _ in range(n):
-            order = rng.permutation(len(idxs))
-            for s0 in range(0, len(order) - B + 1, B):
+            order = rng.permutation(n_ex)
+            for s0 in range(0, n_ex - B + 1, B):
                 sel = jnp.asarray(order[s0 : s0 + B])
                 batch = {
                     # on-device gather from the resident dataset (32 indices
@@ -168,8 +236,17 @@ def run(cfg: ABConfig) -> dict:
         return state
 
     result = {
-        "dataset": {"kind": "synthetic-corners", "n_train": cfg.n_train,
-                    "resolution": 256, "seed": cfg.seed},
+        "protocol_name": cfg.protocol,
+        "dataset": {
+            "kind": "synthetic-corners",
+            "shift": (
+                {"pretrain_style": "PRETRAIN_STYLE", "finetune_style": "FINETUNE_STYLE",
+                 "n_pretrain": cfg.n_pretrain}
+                if shifted else None
+            ),
+            "n_train": cfg.n_train, "resolution": res, "seed": cfg.seed,
+            "eval": "held-out test split of the fine-tune distribution",
+        },
         "protocol": {"pretrain_epochs": cfg.pretrain_epochs,
                      "finetune_epochs": cfg.finetune_epochs,
                      "batch_size": B, "backbone": "resnet50", "lr": 1e-4},
@@ -185,48 +262,74 @@ def run(cfg: ABConfig) -> dict:
             result["phases"] = prior.get("phases", {})
             print(f"merging into existing {cfg.out} ({len(result['phases'])} phases)", flush=True)
 
+    arms = [a.strip() for a in cfg.arms.split(",") if a.strip()]
+    cache_tag = f"{cfg.protocol}_{cfg.pretrain_epochs}_n{cfg.n_pretrain if shifted else cfg.n_train}_s{cfg.seed}_r{res}"
+
     # 1. pretrain with exact BN (snapshot cached — it is the INPUT to the A/B)
-    pre_ckpt = (
-        f"/tmp/corners256_pretrain_{cfg.pretrain_epochs}.ckpt"
-        if default
-        else f"/tmp/corners256_pretrain_{cfg.pretrain_epochs}_s{cfg.seed}.ckpt"
-    )
+    pre_ckpt = f"/tmp/corners_pretrain_{cache_tag}.ckpt"
     _, model_e, state0, step_e = make("exact")
+    errs_e = make_errs(model_e)
     if os.path.exists(pre_ckpt):
         state_pre = load_checkpoint(pre_ckpt, state0)
         print(f"[pretrain] loaded cached snapshot {pre_ckpt}", flush=True)
     else:
-        state_pre = train_epochs(state0, step_e, cfg.pretrain_epochs, "pretrain-exact")
+        state_pre = train_epochs(
+            state0, step_e, cfg.pretrain_epochs, "pretrain-exact", pre_imgs, pre_poses
+        )
         save_checkpoint(pre_ckpt, state_pre)
-    result["phases"]["pretrain_exact"] = errs(model_e, state_pre.params, state_pre.batch_stats)
+    result["phases"]["pretrain_exact"] = errs_e(state_pre.params, state_pre.batch_stats)
     print(f"[pretrain] {result['phases']['pretrain_exact']}", flush=True)
 
     # 2. branch fine-tunes from the SAME snapshot, fresh optimizer state. The
-    #    train step donates its input, so each arm gets a deep copy.
-    # "frozenstem" = frozen BN + frozen stem (stop-gradient at the stem
-    # output). The 3-seed A/B measured it BEST on accuracy (6.35 deg mean vs
-    # 8.42 frozen-BN-only / 8.53 exact) as well as fastest, so it became the
-    # flagship bench default. "stemgrad4" = frozen BN + stem weight-grad on
-    # every 4th image, scaled (unbiased; models/resnet.py stem_grad_stride)
-    # — the accuracy-preserving middle ground (7.44 deg).
-    for mode in [a.strip() for a in cfg.arms.split(",") if a.strip()]:
-        tc_m, model_m, _, step_m = make(mode)
+    #    train step donates its input, so each arm gets a deep copy. The
+    #    keypoint family cannot share the pose_cnn snapshot (different
+    #    architecture), so it gets its own cached pretrain under the same
+    #    shift, then the same fine-tune treatment.
+    for mode in arms:
+        tc_m, model_m, state_m0, step_m = make(mode)
+        errs_m = make_errs(model_m, keypoint=(mode == "keypoint"))
+        if mode == "keypoint":
+            kp_ckpt = f"/tmp/corners_pretrain_kp_{cache_tag}.ckpt"
+            if os.path.exists(kp_ckpt):
+                snap_src = load_checkpoint(kp_ckpt, state_m0)
+                print(f"[keypoint] loaded cached snapshot {kp_ckpt}", flush=True)
+            else:
+                snap_src = train_epochs(
+                    state_m0, step_m, cfg.pretrain_epochs, "pretrain-keypoint",
+                    pre_imgs, pre_poses,
+                )
+                save_checkpoint(kp_ckpt, snap_src)
+            result["phases"]["pretrain_keypoint"] = errs_m(
+                snap_src.params, snap_src.batch_stats
+            )
+            print(f"[pretrain-keypoint] {result['phases']['pretrain_keypoint']}", flush=True)
+        else:
+            snap_src = state_pre
         tx = make_optimizer(tc_m.max_grad_norm)
         runs = []
         for s in range(cfg.arm_seeds):
-            snap = jax.tree_util.tree_map(jnp.copy, state_pre)
+            snap = jax.tree_util.tree_map(jnp.copy, snap_src)
             ft = snap.replace(
                 step=jnp.zeros((), jnp.int32), opt_state=tx.init(snap.params)
             )
-            ft = train_epochs(ft, step_m, cfg.finetune_epochs, f"finetune-{mode}-s{s}")
-            runs.append(errs(model_m, ft.params, ft.batch_stats))
+            ft = train_epochs(
+                ft, step_m, cfg.finetune_epochs, f"finetune-{mode}-s{s}",
+                ft_imgs, ft_poses,
+            )
+            runs.append(errs_m(ft.params, ft.batch_stats))
         summary = {
             "rot_deg_mean": round(float(np.mean([r["rot_deg"] for r in runs])), 2),
             "trans_cm_mean": round(float(np.mean([r["trans_cm"] for r in runs])), 2),
+            "train_rot_deg_mean": round(float(np.mean([r["train_rot_deg"] for r in runs])), 2),
+            "train_trans_cm_mean": round(float(np.mean([r["train_trans_cm"] for r in runs])), 2),
             "runs": runs,
         }
         result["phases"][f"finetune_{mode}"] = summary
         print(f"[finetune-{mode}] {summary}", flush=True)
+
+        with open(cfg.out, "w") as f:  # checkpoint the artifact after EVERY arm
+            json.dump(result, f, indent=2)
+            f.write("\n")
 
     with open(cfg.out, "w") as f:
         json.dump(result, f, indent=2)
