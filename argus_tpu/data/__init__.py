@@ -13,12 +13,14 @@ from argus_tpu.data.dataset import (
     CameraCubePoseDatasetConfig,
     HostDataLoader,
 )
+from argus_tpu.data.resident import DeviceResidentData
 from argus_tpu.data.streaming import StreamingRenderLoader
 from argus_tpu.data.synthetic import write_synthetic_dataset
 
 __all__ = [
     "CameraCubePoseDataset",
     "CameraCubePoseDatasetConfig",
+    "DeviceResidentData",
     "HostDataLoader",
     "StreamingRenderLoader",
     "write_synthetic_dataset",

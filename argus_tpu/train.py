@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -39,7 +38,12 @@ from flax import struct
 
 from argus_tpu import ROOT
 from argus_tpu.checkpoint import AsyncCheckpointer, load_checkpoint, save_checkpoint
-from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig, HostDataLoader
+from argus_tpu.data import (
+    CameraCubePoseDataset,
+    CameraCubePoseDatasetConfig,
+    DeviceResidentData,
+    HostDataLoader,
+)
 from argus_tpu.geom import se3_exp, se3_inverse, se3_log, se3_multiply
 from argus_tpu.logging_utils import MetricsLogger, generate_run_id
 from argus_tpu.models import NCameraCNN, NCameraCNNConfig
@@ -120,6 +124,13 @@ class TrainConfig:
     # semantics; requires bn_frozen). Activation memory drops ~k-fold — the
     # lever for batch sizes past HBM on small slices.
     grad_accum_steps: int = 1
+    # device-resident feed (data/resident.py): when the train split's on-device
+    # footprint fits this HBM budget (MB), upload it once and run whole epochs
+    # as ONE on-chip program (make_resident_epoch_step) — sustained end-to-end
+    # throughput equals compute throughput instead of being host/feed-bound
+    # (the reference's defining bottleneck, argus/train.py:64). 0 disables.
+    # Single-process runs only; multi-host falls back to the host loader.
+    device_resident_mb: float = 2048.0
 
     # validation, printing, and saving
     val_epochs: int = 1
@@ -243,8 +254,17 @@ def create_train_state(cfg: TrainConfig, key: jax.Array, sample_hw: tuple) -> tu
 
 
 def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=None, hw=None):
-    """Build the jitted train step. The whole hot path — u8->f32, augmentation,
-    forward, loss, backward, clipped Adam update — is ONE XLA program.
+    """Build the jitted train step (see make_train_step_body for the semantics)."""
+    return jax.jit(
+        make_train_step_body(model, cfg, base_seed, mesh=mesh, hw=hw), donate_argnums=(0,)
+    )
+
+
+def make_train_step_body(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=None, hw=None):
+    """Build the (unjitted) train-step body. The whole hot path — u8->f32,
+    augmentation, forward, loss, backward, clipped Adam update — is ONE XLA
+    program when jitted (make_train_step), and is also scannable as the body of
+    the whole-epoch resident program (make_resident_epoch_step).
 
     mesh: pass the active Mesh when the batch is sharded over a >1-device "data"
     axis so the Pallas blur kernel runs shard_map-ped per device (ops/augment.py).
@@ -353,7 +373,6 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
             "grad_accum_steps > 1 requires bn_frozen (exact accumulation)"
         )
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         key = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
         images = u8_to_f32(batch["images"], feed_dtype)
@@ -438,6 +457,60 @@ def make_train_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, mesh=No
         return new_state, loss
 
     return train_step
+
+
+def make_resident_epoch_step(
+    model: NCameraCNN, cfg: TrainConfig, base_seed: int, n_examples: int, mesh=None, hw=None
+):
+    """Whole-EPOCH-on-chip training over a device-resident dataset: ONE XLA
+    program per epoch — on-device permutation, `lax.scan` over per-batch
+    gathers from the resident arrays, the full train-step body each iteration.
+
+    This is the TPU-native answer to the reference's defining bottleneck (its
+    pipeline is input-bound, argus/train.py:64): when the dataset fits HBM,
+    the host ships ONE integer per epoch instead of one 12+ MB batch per step,
+    so end-to-end throughput equals compute throughput. Batch semantics are
+    identical to HostDataLoader: seeded per-epoch permutation, final partial
+    batch padded with mask=0, per-(micro)batch masked-mean loss; augmentation
+    keys still derive from state.step, which the scan carries.
+
+    Returns (epoch_step, batches_per_epoch) where
+        epoch_step(state, images_u8, poses, epoch) -> (state, losses (k,))
+    `epoch` must be a (device) int32 scalar — it is traced, so every epoch
+    reuses one compiled program.
+    """
+    body = make_train_step_body(model, cfg, base_seed, mesh=mesh, hw=hw)
+    B = cfg.batch_size
+    n = int(n_examples)
+    k = -(-n // B)  # batches per epoch (last one padded + masked)
+    pad = k * B - n
+
+    def epoch_body(state: TrainState, images: jnp.ndarray, poses: jnp.ndarray, epoch):
+        # distinct stream from the augmentation keys (those fold base_seed with
+        # state.step inside the body)
+        perm = jax.random.permutation(
+            jax.random.fold_in(jax.random.PRNGKey(base_seed ^ 0x5EED), epoch), n
+        )
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
+        mask = (jnp.arange(k * B) < n).astype(jnp.float32)
+
+        def scan_body(st, xs):
+            idx, m = xs
+            batch = {
+                "images": jnp.take(images, idx, axis=0),
+                "cube_pose": jnp.take(poses, idx, axis=0),
+                "mask": m,
+            }
+            st, loss = body(st, batch)
+            return st, loss
+
+        state, losses = jax.lax.scan(
+            scan_body, state, (perm.reshape(k, B), mask.reshape(k, B))
+        )
+        return state, losses
+
+    return jax.jit(epoch_body, donate_argnums=(0,)), k
 
 
 def make_eval_step(model: NCameraCNN, cfg: TrainConfig, base_seed: int, hw=None):
@@ -588,6 +661,19 @@ def initialize_training(cfg: TrainConfig):
     train_step = make_train_step(model, cfg, base_seed=cfg.random_seed, mesh=mesh, hw=sample_hw)
     eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed, hw=sample_hw)
 
+    # device-resident feed: auto-selected when the split fits the HBM budget
+    resident = epoch_step = None
+    if process_count == 1 and DeviceResidentData.fits(
+        train_dataset, getattr(cfg, "device_resident_mb", 0)
+    ):
+        resident = DeviceResidentData.from_dataset(
+            train_dataset, mesh=mesh, n_threads=cfg.num_workers
+        )
+        epoch_step, _ = make_resident_epoch_step(
+            model, cfg, base_seed=cfg.random_seed, n_examples=len(train_dataset),
+            mesh=mesh, hw=sample_hw,
+        )
+
     run_id = generate_run_id()
     logger = MetricsLogger(
         cfg.wandb_project,
@@ -605,6 +691,8 @@ def initialize_training(cfg: TrainConfig):
         val_loader=val_loader,
         train_step=train_step,
         eval_step=eval_step,
+        resident=resident,
+        epoch_step=epoch_step,
         logger=logger,
         run_id=run_id,
         rank=process_index,
@@ -693,19 +781,28 @@ def _train_epochs(
                 global_step += 1
             pending.clear()
 
-        # double-buffered H2D: the next batch's transfer overlaps the in-flight step
-        for device_batch in tqdm(
-            device_prefetch(setup["train_loader"], mesh),
-            desc="Iterations",
-            leave=False,
-            disable=(rank != 0),
-        ):
-            state, loss = train_step(state, device_batch)
-            pending.append(loss)
-            if len(pending) >= 50:
-                flush_pending()
-            if guard.requested:
-                break
+        if setup.get("resident") is not None:
+            # whole epoch as ONE on-chip program over the resident dataset —
+            # no host feed, no H2D; preemption granularity becomes one epoch
+            res = setup["resident"]
+            state, losses = setup["epoch_step"](
+                state, res.images, res.poses, jnp.asarray(epoch, jnp.int32)
+            )
+            pending.extend(losses)
+        else:
+            # double-buffered H2D: the next batch's transfer overlaps the in-flight step
+            for device_batch in tqdm(
+                device_prefetch(setup["train_loader"], mesh),
+                desc="Iterations",
+                leave=False,
+                disable=(rank != 0),
+            ):
+                state, loss = train_step(state, device_batch)
+                pending.append(loss)
+                if len(pending) >= 50:
+                    flush_pending()
+                if guard.requested:
+                    break
         flush_pending()
 
         if guard.requested:

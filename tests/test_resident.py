@@ -1,0 +1,116 @@
+"""Device-resident training feed (data/resident.py + train.make_resident_epoch_step).
+
+The resident path replaces the reference's per-step DataLoader feed (its
+self-described bottleneck, argus/train.py:64) with one bulk upload + whole
+epochs as single on-chip programs. These tests pin (1) the HBM-budget gate,
+(2) EXACT semantic equivalence of the on-chip epoch (on-device permutation +
+scan of gathers) against the per-step train path fed the same batch order,
+including augmentation randomness and final-batch mask padding, and (3) the
+auto-selection wiring in initialize_training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from argus_tpu.data import (
+    CameraCubePoseDataset,
+    CameraCubePoseDatasetConfig,
+    DeviceResidentData,
+)
+from argus_tpu.models import NCameraCNNConfig
+from argus_tpu.ops.augment import AugmentationConfig
+from argus_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_resident_epoch_step,
+    make_train_step,
+)
+
+
+def _dataset(dummy_data_path):
+    return CameraCubePoseDataset(
+        CameraCubePoseDatasetConfig(dummy_data_path, center_crop=(64, 64)), train=True
+    )
+
+
+def test_fits_budget_math(dummy_data_path):
+    ds = _dataset(dummy_data_path)
+    est = DeviceResidentData.bytes_estimate(ds)
+    assert est == 10 * (64 * 64 * 6 + 28)
+    assert DeviceResidentData.fits(ds, est / 2**20 + 1)
+    assert not DeviceResidentData.fits(ds, est / 2**20 / 2)
+    assert not DeviceResidentData.fits(ds, 0)  # 0 disables
+
+
+def test_resident_epoch_matches_manual_loop(dummy_data_path):
+    """The whole-epoch program == the per-step path fed the same batch order.
+
+    Augmentation is ON: its keys derive from state.step, which the scan carries,
+    so the two paths must agree including augmentation randomness. 10 examples
+    at batch 4 -> 3 batches with the last one padded + mask-zeroed."""
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
+        batch_size=4,
+        augmentation_config=AugmentationConfig(num_spaghetti=1, pallas_blur=False),
+        use_augmentation=True,
+        wandb_log=False,
+    )
+    ds = _dataset(dummy_data_path)
+    res = DeviceResidentData.from_dataset(ds)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64))
+    state2 = jax.tree_util.tree_map(jnp.copy, state)  # epoch_step donates its input
+
+    epoch_step, k = make_resident_epoch_step(model, cfg, base_seed=7, n_examples=res.n)
+    assert k == 3
+    out_state, losses = epoch_step(state, res.images, res.poses, jnp.asarray(0, jnp.int32))
+    assert losses.shape == (3,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+
+    # replicate on the host: same permutation stream, same padding, same masks
+    perm = np.asarray(
+        jax.random.permutation(jax.random.fold_in(jax.random.PRNGKey(7 ^ 0x5EED), 0), res.n)
+    )
+    perm = np.concatenate([perm, perm[:2]])
+    mask = (np.arange(12) < 10).astype(np.float32)
+    step = make_train_step(model, cfg, base_seed=7)
+    imgs, poses = np.asarray(res.images), np.asarray(res.poses)
+    st = state2
+    manual = []
+    for i in range(3):
+        sel = perm[i * 4 : (i + 1) * 4]
+        st, l = step(
+            st,
+            {
+                "images": jnp.asarray(imgs[sel]),
+                "cube_pose": jnp.asarray(poses[sel]),
+                "mask": jnp.asarray(mask[i * 4 : (i + 1) * 4]),
+            },
+        )
+        manual.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), manual, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out_state.params), jax.tree_util.tree_leaves(st.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_initialize_training_auto_selects_resident(dummy_data_path, dummy_save_dir):
+    """The tiny fixture dataset fits the default budget -> resident feed active;
+    setting the budget to 0 falls back to the host loader."""
+    from argus_tpu.train import initialize_training
+
+    base = dict(
+        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
+        dataset_config=CameraCubePoseDatasetConfig(dummy_data_path, center_crop=(64, 64)),
+        batch_size=4,
+        wandb_log=False,
+        save_dir=dummy_save_dir,
+        num_workers=1,
+    )
+    setup = initialize_training(TrainConfig(**base))
+    assert setup["resident"] is not None and setup["epoch_step"] is not None
+    assert setup["resident"].n == 10
+
+    setup_off = initialize_training(TrainConfig(**base, device_resident_mb=0))
+    assert setup_off["resident"] is None
