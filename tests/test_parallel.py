@@ -246,3 +246,68 @@ def test_shmap_dp_frozen_bn_matches_single_device():
         jax.tree_util.tree_leaves(out[1][1]), jax.tree_util.tree_leaves(out[8][1])
     ):
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=0)
+
+
+@pytest.mark.slow
+def test_shmap_dp_fused_backbone_matches_single_device():
+    """The PRODUCTION multi-chip path (VERDICT r3 #4): the FULLY-FUSED flagship
+    backbone — whole-block + projection + stem + stage-chain kernels, frozen BN
+    + frozen stem + frozen_stages=3 — under shard_map DP with check_vma=False.
+    fuse_*="on" on CPU routes every fused op through its custom_vjp wrapper
+    with XLA-fallback math (ops/pallas/block_fused._use_pallas), i.e. exactly
+    the op-graph + VJP + collective plumbing a real v5e-8 runs, minus Mosaic.
+    Must match 1-device execution: same loss, same updated params."""
+    from argus_tpu.models import NCameraCNNConfig
+    from argus_tpu.ops.augment import AugmentationConfig
+    from argus_tpu.train import TrainConfig, TrainState, create_train_state, make_train_step
+    from argus_tpu.parallel import param_shardings as ps
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(
+            n_cams=2,
+            backbone="resnet50",
+            resnet_output_dim=16,
+            bn_frozen=True,
+            bn_frozen_affine=True,
+            stem_frozen=True,
+            frozen_stages=3,
+            fuse_block="on",
+            fuse_proj="on",
+            fuse_stem="on",
+            fuse_stage="on",
+        ),
+        augmentation_config=AugmentationConfig(num_spaghetti=0),
+        use_augmentation=False,
+        amp=False,
+        wandb_log=False,
+    )
+    rng = np.random.default_rng(2)
+    batch = {
+        "images": rng.integers(0, 256, (8, 32, 32, 6), dtype=np.uint8),
+        "cube_pose": np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (8, 1)),
+        "mask": np.ones((8,), np.float32),
+    }
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_data=n_dev, n_model=1, devices=jax.devices()[:n_dev])
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        state = jax.device_put(
+            state,
+            TrainState(
+                step=ps(state.step, mesh),
+                params=ps(state.params, mesh),
+                batch_stats=ps(state.batch_stats, mesh),
+                opt_state=ps(state.opt_state, mesh),
+                lr=ps(state.lr, mesh),
+            ),
+        )
+        step = make_train_step(model, cfg, base_seed=0, mesh=mesh if n_dev > 1 else None)
+        new_state, loss = step(state, global_batch(mesh, batch))
+        out[n_dev] = (float(loss), jax.device_get(new_state.params))
+
+    assert np.isclose(out[1][0], out[8][0], rtol=1e-5), (out[1][0], out[8][0])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out[1][1]), jax.tree_util.tree_leaves(out[8][1])
+    ):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=0)
