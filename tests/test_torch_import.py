@@ -114,3 +114,53 @@ def test_shape_mismatch_raises():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
     with pytest.raises((ValueError, KeyError)):
         load_torch_resnet(sd, variables)
+
+
+def _load_verify_script():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "verify_torch_import.py")
+    spec = importlib.util.spec_from_file_location("verify_torch_import", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_verify_cli_full_network_and_golden(tmp_path):
+    """scripts/verify_torch_import.py (VERDICT r3 #8): the state-dict-driven
+    torch-functional reference forward must agree with the flax model carrying
+    the translated weights across the FULL network (not just the stem), and the
+    recorded golden must replay torch-free."""
+    v = _load_verify_script()
+
+    # full-network agreement on the synthetic torchvision-layout state_dict
+    golden = str(tmp_path / "g.npz")
+    res = v.main(v.VerifyConfig(
+        selftest=True, selftest_backbone="resnet18",
+        height=32, width=32, golden_out=golden,
+    ))
+    assert res["ok"] and res["max_abs_diff"] < 2e-4
+    assert res["backbone"] == "resnet18"
+
+    # torch-free golden replay
+    res2 = v.main(v.VerifyConfig(golden_check=golden))
+    assert res2["ok"] and res2["mode"] == "golden-check"
+
+    # a perturbed translation must FAIL the golden check (the check has teeth)
+    import numpy as np
+
+    with np.load(golden) as z:
+        data = {k: z[k] for k in z.files}
+    key = next(k for k in data if k.startswith("var:") and data[k].ndim == 4)
+    data[key] = data[key] + 0.05
+    bad = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad, **data)
+    with pytest.raises(SystemExit):
+        v.main(v.VerifyConfig(golden_check=bad))
+
+
+def test_verify_cli_infer_backbone():
+    v = _load_verify_script()
+    assert v.infer_backbone(v.synthetic_state_dict("resnet50")) == "resnet50"
+    assert v.infer_backbone(_fake_torch_resnet18_state_dict()) == "resnet18"
