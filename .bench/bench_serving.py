@@ -4,8 +4,9 @@ serve.latency_tuned_config forces the pure-XLA backbone based on a BATCH-1
 measurement (0.35 ms vs 0.61 ms fused). This probes the other end of the
 serving envelope — offline/batched inference (relabeling a dataset, scoring a
 trajectory) — where the fused forward chains should win like they do in the
-training step's frozen stages. Decides whether Estimator should pick the
-backbone per batch size.
+training step's frozen stages. Outcome: serve.Estimator now selects the
+backbone per batch size (serving_tuned_config, crossover at
+SERVING_FUSED_MIN_BATCH); this probe re-measures the envelope.
 
 Protocol: chain-of-N serialized inferences on-device with a DYNAMIC trip count
 (one compiled program per config; the tunnel RTT cancels in the long-short
@@ -40,7 +41,11 @@ def make_chain(model):
     def run(variables, images, n):
         def body(_, img):
             pose = se3_exp(model.apply(variables, img, train=False))
-            return img + 1e-12 * jnp.sum(pose)
+            # serialize iterations through a (1,1,1,6) slice: a full-tensor
+            # carry (`img + eps`) charges ~0.8 GB/iter of extra HBM traffic at
+            # B=256 to every arm (ADVICE r3)
+            bump = img[:1, :1, :1, :] + (1e-12 * jnp.sum(pose)).astype(img.dtype)
+            return jax.lax.dynamic_update_slice(img, bump, (0, 0, 0, 0))
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, images))
 
@@ -88,8 +93,16 @@ if __name__ == "__main__":
         base, bn_frozen=True, bn_frozen_affine=True, dtype="bfloat16"
     )
     xla_bf16 = latency_tuned_config(frozen_bf16)
-    xla_f32 = latency_tuned_config(base)  # what serve.Estimator compiles today
-    for batch in (32, 256):  # batch-1 is already measured (bench.py p50: XLA 0.35 vs fused 0.61)
+    # Estimator compiles the CHECKPOINT's embedded config — for an amp-trained
+    # flagship checkpoint that is bf16 non-fused (= the xla_bf16 row), NOT this
+    # f32 row, which is what a legacy default-config checkpoint gets (ADVICE r3)
+    xla_f32 = latency_tuned_config(base)
+    import os
+
+    batches = tuple(
+        int(b) for b in os.environ.get("SERVE_BATCHES", "8,32,256").split(",")
+    )  # batch-1 is already measured (bench.py p50: XLA 0.35 vs fused 0.61)
+    for batch in batches:
         measure("fused bf16 frozen", frozen_bf16, batch)
         measure("XLA bf16 frozen", xla_bf16, batch)
-        measure("XLA f32 (today)", xla_f32, batch)
+        measure("XLA f32 (legacy dflt ckpt)", xla_f32, batch)
