@@ -252,7 +252,9 @@ def test_shmap_dp_frozen_bn_matches_single_device():
 def test_shmap_dp_fused_backbone_matches_single_device():
     """The PRODUCTION multi-chip path (VERDICT r3 #4): the FULLY-FUSED flagship
     backbone — whole-block + projection + stem + stage-chain kernels, frozen BN
-    + frozen stem + frozen_stages=3 — under shard_map DP with check_vma=False.
+    + frozen stem + frozen_stages=0 (the round-4 flagship: full backprop, so
+    every fused op's custom-VJP BACKWARD also runs) — under shard_map DP with
+    check_vma=False.
     fuse_*="on" on CPU routes every fused op through its custom_vjp wrapper
     with XLA-fallback math (ops/pallas/block_fused._use_pallas), i.e. exactly
     the op-graph + VJP + collective plumbing a real v5e-8 runs, minus Mosaic.
@@ -270,7 +272,7 @@ def test_shmap_dp_fused_backbone_matches_single_device():
             bn_frozen=True,
             bn_frozen_affine=True,
             stem_frozen=True,
-            frozen_stages=3,
+            frozen_stages=0,
             fuse_block="on",
             fuse_proj="on",
             fuse_stem="on",
