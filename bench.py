@@ -407,6 +407,42 @@ def main() -> None:
         }
         del model3, state3, step3
 
+    # ── keypoint-family training throughput ──
+    # The corner-heatmap + differentiable-PnP family is the round-4 ACCURACY
+    # headline (the only family that learns rotation under the transfer-shifted
+    # protocol: 4.5 deg / 0.47 cm held-out, ACCURACY_r04.json) but had no
+    # throughput number in any artifact. Default config (resnet18 encoder,
+    # exact BN — what the A/B trained), amp bf16. BENCH_KEYPOINT=0 skips.
+    keypoint = None
+    if os.environ.get("BENCH_KEYPOINT", "1") != "0":
+        try:
+            import dataclasses
+
+            from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
+
+            kcfg = dataclasses.replace(
+                cfg, model_type="keypoint", keypoint_config=CubeKeypointNetConfig()
+            )
+            kmodel, kstate = create_train_state(kcfg, jax.random.PRNGKey(0), hw)
+            kstep = make_train_step(kmodel, kcfg, base_seed=0, hw=hw)
+            kstate, kloss = kstep(kstate, batch)  # compile + warmup
+            float(kloss)
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                kstate, kloss = kstep(kstate, batch)
+            float(kloss)
+            dtk = time.perf_counter() - t0
+            keypoint = {
+                "step_ms": round(dtk / n_steps * 1e3, 2),
+                "images_per_sec": round(2 * batch_size * n_steps / dtk, 2),
+                "batch": batch_size,
+                "backbone": kcfg.keypoint_config.backbone,
+                "accuracy_note": "transfer headline: 4.5deg/0.47cm held-out (ACCURACY_r04.json)",
+            }
+            del kmodel, kstate, kstep
+        except Exception as e:  # never lose the headline to the secondary family
+            keypoint = {"error": f"{type(e).__name__}: {e}"}
+
     # ── end-to-end throughput through the real input pipeline (BENCH_E2E=0 skips) ──
     e2e_extras = None
     if os.environ.get("BENCH_E2E", "1") != "0":
@@ -557,6 +593,8 @@ def main() -> None:
                         else None
                     ),
                     "frozen_finetune_k3": second,
+                    # keypoint family (the transfer-accuracy headline)
+                    "keypoint_train": keypoint,
                     # batched offline serving (fused-bf16-frozen forward)
                     "serving": serving,
                     # end-to-end pipeline (disk->decode->H2D->step) + decomposition
