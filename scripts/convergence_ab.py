@@ -20,10 +20,14 @@ generalization number — round 3 reported train-set errors) AND on its train
 split (fit number), per arm, mean over `arm_seeds` batch-order seeds.
 
 Arms: exact BN full backprop; frozen BN; + frozen stem; progressive frozen
-stages 1-4 (the bench-default ladder); and "keypoint" — the corner-heatmap +
+stages 1-4 (the bench-default ladder); "keypoint" — the corner-heatmap +
 triangulation/Procrustes family (VERDICT r3 #5), trained with its own
 pretrain -> fine-tune under the same shift and scored on the same geodesic
-pose-error metrics via fit_pose.
+pose-error metrics via fit_pose; and "keypoint_frozen" — the same family
+fine-tuned with frozen BN(+affine) + frozen stem from the SAME exact-BN
+pretrain snapshot, i.e. the configuration that unlocks the fused Pallas
+BasicBlock/stem kernels for keypoint training (throughput evidence in
+docs/ROUND4_NOTES.md; this arm is its accuracy evidence).
 
 Usage:
     python scripts/convergence_ab.py --out ACCURACY_r04.json
@@ -169,10 +173,20 @@ def run(cfg: ABConfig) -> dict:
     tr_imgs, tr_poses = ft_imgs[:64], ft_poses[:64]  # fit-number probe
 
     def make(mode):
-        if mode == "keypoint":
+        if mode.startswith("keypoint"):
+            # "keypoint_frozen" = fused-compatible fine-tune config: frozen BN
+            # (+affine) + frozen stem — torchvision FrozenBatchNorm2d detection
+            # semantics, and exactly the gate for the fused Pallas BasicBlock/
+            # stem kernels (models/resnet.py fuse_block/fuse_stem "auto").
+            # Pretrain is ALWAYS exact BN; frozen applies at fine-tune, like
+            # the pose-cnn frozen arms branching from the exact snapshot.
+            frozen = mode == "keypoint_frozen"
             tc = TrainConfig(
                 model_type="keypoint",
-                keypoint_config=CubeKeypointNetConfig(),
+                keypoint_config=CubeKeypointNetConfig(
+                    bn_frozen=frozen, bn_frozen_affine=frozen,
+                    stem_frozen=frozen,
+                ),
                 use_augmentation=cfg.augment, amp=True, wandb_log=False,
                 learning_rate=1e-4,
             )
@@ -300,18 +314,25 @@ def run(cfg: ABConfig) -> dict:
     #    shift, then the same fine-tune treatment.
     for mode in arms:
         tc_m, model_m, state_m0, step_m = make(mode)
-        errs_m = make_errs(model_m, keypoint=(mode == "keypoint"))
-        if mode == "keypoint":
+        errs_m = make_errs(model_m, keypoint=mode.startswith("keypoint"))
+        if mode.startswith("keypoint"):
             kp_ckpt = f"/tmp/corners_pretrain_kp_{cache_tag}.ckpt"
             if os.path.exists(kp_ckpt):
+                # frozen/exact keypoint configs are variable-tree neutral, so
+                # the exact-BN pretrain snapshot loads into either arm's state
                 snap_src = load_checkpoint(kp_ckpt, state_m0)
                 print(f"[keypoint] loaded cached snapshot {kp_ckpt}", flush=True)
             else:
-                snap_src = train_epochs(
-                    state_m0, step_m, cfg.pretrain_epochs, "pretrain-keypoint",
+                if mode == "keypoint":
+                    state_e0, step_e_kp = state_m0, step_m
+                else:
+                    _, _, state_e0, step_e_kp = make("keypoint")
+                snap = train_epochs(
+                    state_e0, step_e_kp, cfg.pretrain_epochs, "pretrain-keypoint",
                     pre_imgs, pre_poses,
                 )
-                save_checkpoint(kp_ckpt, snap_src)
+                save_checkpoint(kp_ckpt, snap)
+                snap_src = load_checkpoint(kp_ckpt, state_m0)
             result["phases"]["pretrain_keypoint"] = errs_m(
                 snap_src.params, snap_src.batch_stats
             )
