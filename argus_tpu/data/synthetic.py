@@ -71,6 +71,102 @@ _CORNER_COLORS = np.array(
 )
 
 
+def _face_table() -> list:
+    """The cube's 6 faces as (axis, sign, quad corner indices).
+
+    Corner indexing matches models.keypoint_net.cube_corners (sign-lexicographic:
+    idx = 4*(sx>0) + 2*(sy>0) + (sz>0)). The quad lists each face's 4 corners in
+    texture order — (s, t) = (0,0), (1,0), (1,1), (0,1) — with s following the
+    first non-face axis and t the second, so every face carries a well-defined
+    2D texture frame."""
+    faces = []
+    for axis in range(3):
+        for g in (-1, 1):
+            others = [a for a in range(3) if a != axis]
+            quad = []
+            for sb, sc in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                s = [0, 0, 0]
+                s[axis] = g
+                s[others[0]] = sb
+                s[others[1]] = sc
+                quad.append(((s[0] > 0) << 2) | ((s[1] > 0) << 1) | (s[2] > 0))
+            faces.append((axis, g, quad))
+    return faces
+
+
+_CUBE_FACES = _face_table()  # face ids 0..5 = -x, +x, -y, +y, -z, +z
+
+
+def _face_pattern(face_id: int, s: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Per-face LUMINANCE pattern over texture coords (s, t) in [0,1]^2 -> [0,1].
+
+    Six visually distinct patterns — stripes at three orientations, a checker,
+    a disc, a diagonal split — i.e. the glyph/texture cue family of the
+    reference cube's per-face textures
+    (/root/reference/mujoco/common_assets/reorientation_cube.xml:1-34 +
+    reorientation_cube_textures/). Pattern identity per face pins the full
+    rotation (3 visible face identities = an orthonormal frame); the inverted
+    corner patch additionally breaks each pattern's own 180-degree symmetry.
+
+    These are LUMINANCE cues: hue/saturation/planckian jitter — the
+    photometric stack that erases the corner-dot COLOR identity signal
+    (VERDICT r4 #1, docs/ROUND4_NOTES.md) — cannot remove them, and the
+    4-period stripe pitch (~15-25 px at rendered face sizes) survives the
+    gaussian/motion blur ranges of ops/augment.py."""
+    if face_id == 0:
+        p = np.floor(t * 4) % 2
+    elif face_id == 1:
+        p = np.floor(s * 4) % 2
+    elif face_id == 2:
+        p = np.floor((s + t) * 4) % 2
+    elif face_id == 3:
+        p = (np.floor(s * 3) + np.floor(t * 3)) % 2
+    elif face_id == 4:
+        p = (((s - 0.5) ** 2 + (t - 0.5) ** 2) < 0.09).astype(np.float32)
+    else:
+        p = (s > t).astype(np.float32)
+    marker = (s < 0.28) & (t < 0.28)
+    return np.where(marker, 1.0 - p, p).astype(np.float32)
+
+
+def _fill_face_quad(img: np.ndarray, quad_uv: np.ndarray, face_id: int, contrast: float) -> None:
+    """Rasterize one cube face in-place: solve the unit-square -> projected-quad
+    homography, inverse-map the bounding-box pixels to texture coords, and fill
+    with the face's grayscale pattern (same value in all 3 channels — pure
+    luminance, untouched by hue/saturation augmentation)."""
+    h_img, w_img = img.shape[:2]
+    src = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i, ((x, y), (u, v)) in enumerate(zip(src, quad_uv)):
+        A[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        b[2 * i] = u
+        A[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i + 1] = v
+    try:
+        H = np.append(np.linalg.solve(A, b), 1.0).reshape(3, 3)
+        Hinv = np.linalg.inv(H)
+    except np.linalg.LinAlgError:
+        return  # edge-on (degenerate) face: nothing visible to draw
+    u0 = max(0, int(np.floor(quad_uv[:, 0].min())))
+    u1 = min(w_img, int(np.ceil(quad_uv[:, 0].max())) + 1)
+    v0 = max(0, int(np.floor(quad_uv[:, 1].min())))
+    v1 = min(h_img, int(np.ceil(quad_uv[:, 1].max())) + 1)
+    if u0 >= u1 or v0 >= v1:
+        return
+    uu, vv = np.meshgrid(np.arange(u0, u1) + 0.5, np.arange(v0, v1) + 0.5)
+    st = Hinv @ np.stack([uu.ravel(), vv.ravel(), np.ones(uu.size)])
+    w = np.where(np.abs(st[2]) < 1e-12, 1e-12, st[2])
+    s, t = st[0] / w, st[1] / w
+    inside = (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
+    if not inside.any():
+        return
+    # per-face base luminance (identity cue) + pattern contrast around it
+    vals = (92.0 + 14.0 * face_id) + contrast * (_face_pattern(face_id, s, t) - 0.5)
+    m = inside.reshape(uu.shape)
+    img[v0:v1, u0:u1][m] = np.clip(vals, 0, 255).reshape(uu.shape)[m][:, None]
+
+
 from dataclasses import dataclass
 
 
@@ -97,6 +193,15 @@ class RenderStyle:
             the render resolution (camera-pose perturbation analog).
         distractors: count of random non-corner gray squares (occluder analog).
         color_jitter: multiplicative corner-color jitter amplitude.
+        faces: render the cube's 6 faces with per-face LUMINANCE patterns (the
+            analog of the reference cube's per-face textures,
+            /root/reference/mujoco/common_assets/reorientation_cube.xml:1-34).
+            This is the rotation signal that SURVIVES photometric augmentation
+            (VERDICT r4 #1): the corner-dot-only renderer encodes rotation
+            solely in dot COLOR identity, which hue/saturation/planckian
+            jitter attacks directly. With faces on, the cube is opaque: only
+            corners adjacent to a visible face get dots.
+        face_contrast: luminance amplitude of the face patterns.
     """
 
     bg_base: int = 40
@@ -108,6 +213,8 @@ class RenderStyle:
     cam_jitter_px: float = 0.0
     distractors: int = 0
     color_jitter: float = 0.0
+    faces: bool = False
+    face_contrast: float = 70.0
 
 
 # Disjoint style pair for the transfer-shifted protocol. Every nuisance knob
@@ -125,6 +232,14 @@ FINETUNE_STYLE = RenderStyle(
     light_gradient=10.0, dot_radius_scale=1.0, cam_jitter_px=1.0,
     distractors=0, color_jitter=0.05,
 )
+
+# Face-textured variants (round 5): identical nuisance knobs, plus the opaque
+# per-face-patterned cube. The only delta vs the round-4 protocol is the added
+# luminance rotation signal, so A/B deltas are attributable to it alone.
+import dataclasses as _dc
+
+PRETRAIN_STYLE_FACES = _dc.replace(PRETRAIN_STYLE, faces=True)
+FINETUNE_STYLE_FACES = _dc.replace(FINETUNE_STYLE, faces=True)
 
 
 def _styled_background(rng: np.random.Generator, height: int, width: int, style: RenderStyle) -> np.ndarray:
@@ -202,7 +317,24 @@ def _render_corner_projection(
         if style is not None and style.cam_jitter_px:
             # one rigid shift per camera view: the camera moved, not the corners
             uv = uv + rng.normal(0.0, style.cam_jitter_px, (1, 2))
+        corner_visible = np.ones(8, bool)
+        if style is not None and style.faces:
+            # opaque textured cube: paint back-face-culled faces (convex, so
+            # visible faces never overlap — no z-buffer needed), then dots only
+            # on corners adjacent to >=1 visible face (the single fully-hidden
+            # corner gets none, like the reference's opaque cube)
+            C_cam = -np.linalg.inv(P[cam][:, :3]) @ P[cam][:, 3]  # camera center
+            hw_cube = float(np.abs(corners).max())
+            corner_visible[:] = False
+            for face_id, (axis, g, quad) in enumerate(_CUBE_FACES):
+                n_world = rot[:, axis] * g
+                center_world = rot[:, axis] * (g * hw_cube) + t
+                if float(n_world @ (C_cam - center_world)) > 1e-9:
+                    _fill_face_quad(img, uv[quad], face_id, style.face_contrast)
+                    corner_visible[quad] = True
         for k in range(8):
+            if not corner_visible[k]:
+                continue
             u, v = int(round(uv[k, 0])), int(round(uv[k, 1]))
             if -r < u < width + r and -r < v < height + r:
                 img[max(0, v - r) : v + r, max(0, u - r) : u + r] = colors[k]
