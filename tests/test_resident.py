@@ -12,6 +12,7 @@ auto-selection wiring in initialize_training.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from argus_tpu.data import (
     CameraCubePoseDataset,
@@ -93,6 +94,57 @@ def test_resident_epoch_matches_manual_loop(dummy_data_path):
         jax.tree_util.tree_leaves(out_state.params), jax.tree_util.tree_leaves(st.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_resident_epoch_on_mesh_matches_single_device(dummy_data_path):
+    """The PRODUCTION multi-chip resident path (VERDICT r4 #4): the whole-epoch
+    program over a REPLICATED resident dataset on a data8 mesh — shard_map DP
+    (frozen BN) with the bucketed gradient all-reduce inside a lax.scan — must
+    produce the same losses and updated params as single-device execution.
+    initialize_training auto-selects exactly this combination for every
+    sub-`device_resident_mb` dataset under `multigpu` (train.py resident feed)."""
+    from argus_tpu.parallel import make_mesh, param_shardings as ps, replicated
+    from argus_tpu.train import TrainState
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(
+            n_cams=2, backbone="resnet18", resnet_output_dim=16,
+            bn_frozen=True, bn_frozen_affine=True,
+        ),
+        batch_size=8,  # 10 examples -> k=2 batches, last padded + mask-zeroed
+        augmentation_config=AugmentationConfig(num_spaghetti=1, pallas_blur=False),
+        use_augmentation=True,
+        wandb_log=False,
+    )
+    ds = _dataset(dummy_data_path)
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_data=n_dev, n_model=1, devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64))
+        if mesh is not None:
+            state = jax.device_put(
+                state,
+                TrainState(
+                    step=ps(state.step, mesh), params=ps(state.params, mesh),
+                    batch_stats=ps(state.batch_stats, mesh),
+                    opt_state=ps(state.opt_state, mesh), lr=ps(state.lr, mesh),
+                ),
+            )
+        res = DeviceResidentData.from_dataset(ds, mesh=mesh)
+        epoch_step, k = make_resident_epoch_step(
+            model, cfg, base_seed=7, n_examples=res.n, mesh=mesh
+        )
+        assert k == 2
+        new_state, losses = epoch_step(state, res.images, res.poses, jnp.asarray(0, jnp.int32))
+        out[n_dev] = (np.asarray(losses), jax.device_get(new_state.params))
+
+    np.testing.assert_allclose(out[1][0], out[8][0], rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out[1][1]), jax.tree_util.tree_leaves(out[8][1])
+    ):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=0)
 
 
 def test_initialize_training_auto_selects_resident(dummy_data_path, dummy_save_dir):
