@@ -19,6 +19,23 @@ Errors are reported on the fine-tune distribution's HELD-OUT TEST split (the
 generalization number — round 3 reported train-set errors) AND on its train
 split (fit number), per arm, mean over `arm_seeds` batch-order seeds.
 
+Round-5 protocol upgrades (VERDICT r4 #1-3):
+
+  * `faces` (default True): the cube renders with per-face LUMINANCE patterns
+    (data/synthetic.py PRETRAIN/FINETUNE_STYLE_FACES) — a rotation signal the
+    photometric augmentation stack cannot erase, unlike the corner-dot COLOR
+    identity the round-4 protocol relied on (the reference cube carries
+    per-face textures: mujoco/common_assets/reorientation_cube.xml:1-34).
+    `--faces False` reproduces the round-4 dots-only protocol.
+  * `sched` (default True): fine-tune arms run the PRODUCTION training
+    semantics — per-epoch validation loss drives ReduceLROnPlateau
+    (argus_tpu.train.ReduceLROnPlateau == the reference's scheduler,
+    /root/reference/argus/train.py:233,348) instead of raw constant-lr steps,
+    removing the round-4 confound where the long-budget exact arm diverged
+    for want of a scheduler (ACCURACY_r04_long.json).
+  * `arm_seeds` default 5 and per-arm MEDIAN + IQR reported alongside means
+    (3-seed means were dominated by single catastrophic runs).
+
 Arms: exact BN full backprop; frozen BN; + frozen stem; progressive frozen
 stages 1-4 (the bench-default ladder); "keypoint" — the corner-heatmap +
 triangulation/Procrustes family (VERDICT r3 #5), trained with its own
@@ -26,8 +43,8 @@ pretrain -> fine-tune under the same shift and scored on the same geodesic
 pose-error metrics via fit_pose; and "keypoint_frozen" — the same family
 fine-tuned with frozen BN(+affine) + frozen stem from the SAME exact-BN
 pretrain snapshot, i.e. the configuration that unlocks the fused Pallas
-BasicBlock/stem kernels for keypoint training (throughput evidence in
-docs/ROUND4_NOTES.md; this arm is its accuracy evidence).
+BasicBlock/stem kernels for keypoint training (this arm is its accuracy
+evidence; its throughput evidence is the `keypoint_train` bench entry).
 
 Usage:
     python scripts/convergence_ab.py --out ACCURACY_r04.json
@@ -85,15 +102,21 @@ class ABConfig:
     augment: bool = True
     # render resolution (256 = the reference crop; smaller for CPU smoke tests)
     resolution: int = 256
-    # fine-tune repeats per arm (distinct batch-order seeds). Single-seed
-    # arms measured +-2.5 deg run-to-run at this scale (frozenstem: 11.8 then
-    # 6.57 deg under the identical protocol) — smaller than the effects being
-    # compared, so each arm reports mean and range over `arm_seeds` repeats.
-    arm_seeds: int = 3
+    # fine-tune repeats per arm (distinct batch-order seeds). Run-to-run
+    # spread at this scale is large (round-4 3-seed arms had single
+    # catastrophic runs dominating the mean — VERDICT r4), so arms report
+    # median + IQR over `arm_seeds` repeats alongside the mean.
+    arm_seeds: int = 5
     # comma-separated fine-tune arms to run this invocation; results MERGE
     # into an existing `out` JSON (same dataset/protocol) so new arms can be
     # measured without re-running the settled ones.
-    arms: str = "exact,frozen,frozenstem,stage1,stage2,stage3,stage4,keypoint"
+    arms: str = "exact,frozen,frozenstem,stage1,stage2,stage3,keypoint,keypoint_frozen"
+    # per-face luminance patterns on the cube (round-5 rotation signal that
+    # survives photometric augmentation); False = the round-4 dots-only proxy
+    faces: bool = True
+    # production fine-tune semantics: per-epoch val loss -> ReduceLROnPlateau
+    # (the reference's scheduler); False = round-4 raw constant-lr steps
+    sched: bool = True
 
 
 def run(cfg: ABConfig) -> dict:
@@ -110,7 +133,9 @@ def run(cfg: ABConfig) -> dict:
     from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig
     from argus_tpu.data.synthetic import (
         FINETUNE_STYLE,
+        FINETUNE_STYLE_FACES,
         PRETRAIN_STYLE,
+        PRETRAIN_STYLE_FACES,
         write_synthetic_dataset,
     )
     from argus_tpu.geom import pose_errors, se3_exp
@@ -121,8 +146,10 @@ def run(cfg: ABConfig) -> dict:
         nominal_camera_matrices,
     )
     from argus_tpu.train import (
+        ReduceLROnPlateau,
         TrainConfig,
         create_train_state,
+        make_eval_step,
         make_optimizer,
         make_train_step,
     )
@@ -130,6 +157,9 @@ def run(cfg: ABConfig) -> dict:
     B = cfg.batch_size
     shifted = cfg.protocol == "shifted"
     assert cfg.protocol in ("shifted", "same"), cfg.protocol
+    pre_style = PRETRAIN_STYLE_FACES if cfg.faces else PRETRAIN_STYLE
+    ft_style = FINETUNE_STYLE_FACES if cfg.faces else FINETUNE_STYLE
+    fc = "f" if cfg.faces else ""
 
     res = cfg.resolution
 
@@ -143,19 +173,21 @@ def run(cfg: ABConfig) -> dict:
 
     if shifted:
         pre_dir = ensure_dataset(
-            f"/tmp/corners_preA_n{cfg.n_pretrain}_s{cfg.seed}_r{res}",
-            cfg.n_pretrain, 8, cfg.seed, PRETRAIN_STYLE,
+            f"/tmp/corners_preA{fc}_n{cfg.n_pretrain}_s{cfg.seed}_r{res}",
+            cfg.n_pretrain, 8, cfg.seed, pre_style,
         )
         # different writer seed: pretrain/fine-tune share NOTHING — not poses,
         # not nuisance draws
         ft_dir = ensure_dataset(
-            f"/tmp/corners_ftB_n{cfg.n_train}_s{cfg.seed}_r{res}_e{cfg.n_eval}",
-            cfg.n_train, cfg.n_eval, cfg.seed + 1000, FINETUNE_STYLE,
+            f"/tmp/corners_ftB{fc}_n{cfg.n_train}_s{cfg.seed}_r{res}_e{cfg.n_eval}",
+            cfg.n_train, cfg.n_eval, cfg.seed + 1000, ft_style,
         )
     else:
-        default = cfg.n_train == 256 and cfg.seed == 5
-        ds_dir = "/tmp/corners256" if default else f"/tmp/corners256_n{cfg.n_train}_s{cfg.seed}"
-        pre_dir = ft_dir = ensure_dataset(ds_dir, cfg.n_train, 64, cfg.seed, None)
+        default = cfg.n_train == 256 and cfg.seed == 5 and not cfg.faces
+        ds_dir = "/tmp/corners256" if default else f"/tmp/corners256{fc}_n{cfg.n_train}_s{cfg.seed}"
+        pre_dir = ft_dir = ensure_dataset(
+            ds_dir, cfg.n_train, 64, cfg.seed, ft_style if cfg.faces else None
+        )
 
     def resident(ds_dir, train):
         """Whole split DEVICE-resident: per-step host batch feeds cost ~0.7 s
@@ -188,7 +220,7 @@ def run(cfg: ABConfig) -> dict:
                     stem_frozen=frozen,
                 ),
                 use_augmentation=cfg.augment, amp=True, wandb_log=False,
-                learning_rate=1e-4,
+                learning_rate=1e-4, val_spaghetti=False,
             )
         else:
             frozen = mode != "exact"
@@ -203,10 +235,13 @@ def run(cfg: ABConfig) -> dict:
                     frozen_stages=int(mode[5:]) if mode.startswith("stage") else 0,
                 ),
                 use_augmentation=cfg.augment, amp=True, wandb_log=False,
-                learning_rate=1e-4,
+                learning_rate=1e-4, val_spaghetti=False,
             )
         model, state = create_train_state(tc, jax.random.PRNGKey(0), (res, res))
-        return tc, model, state, make_train_step(model, tc, base_seed=0, hw=(res, res))
+        # eval_step drives the plateau scheduler (production val semantics;
+        # val_spaghetti off so the scheduler sees a clean loss)
+        ev = make_eval_step(model, tc, base_seed=0, hw=(res, res)) if cfg.sched else None
+        return tc, model, state, make_train_step(model, tc, base_seed=0, hw=(res, res)), ev
 
     cam_P = nominal_camera_matrices(res, res)
 
@@ -232,7 +267,7 @@ def run(cfg: ABConfig) -> dict:
 
         return errs
 
-    def train_epochs(state, step, n, tag, d_imgs, d_poses):
+    def train_epochs(state, step, n, tag, d_imgs, d_poses, eval_step=None):
         import zlib
 
         # crc32, not hash(): str hash is salted per process — batch orders must
@@ -242,6 +277,12 @@ def run(cfg: ABConfig) -> dict:
         loss = None
         mask = jnp.ones((B,), jnp.float32)
         n_ex = int(d_imgs.shape[0])
+        # production fine-tune semantics (VERDICT r4 #2): per-epoch validation
+        # loss on the held-out split drives ReduceLROnPlateau — the reference
+        # schedules exactly this way (argus/train.py:233,348 validates every
+        # epoch on the dataset's test split); train() mirrors it at :817-830.
+        scheduler = ReduceLROnPlateau(patience=5, factor=0.5) if eval_step else None
+        ev_mask = jnp.ones((int(ev_imgs.shape[0]),), jnp.float32) if eval_step else None
         for _ in range(n):
             order = rng.permutation(n_ex)
             for s0 in range(0, n_ex - B + 1, B):
@@ -254,18 +295,28 @@ def run(cfg: ABConfig) -> dict:
                     "mask": mask,
                 }
                 state, loss = step(state, batch)
+            if scheduler is not None:
+                lsum, cnt = eval_step(
+                    state, {"images": ev_imgs, "cube_pose": ev_poses, "mask": ev_mask}
+                )
+                new_lr = scheduler.step(float(lsum) / float(cnt), float(state.lr))
+                if new_lr != float(state.lr):
+                    state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
+        lr_note = f", final lr {float(state.lr):.2e}" if scheduler else ""
         print(
             f"  [{tag}] {n} epochs in {time.perf_counter() - t0:.0f}s, "
-            f"final loss {float(loss):.5f}", flush=True,
+            f"final loss {float(loss):.5f}{lr_note}", flush=True,
         )
         return state
 
     result = {
         "protocol_name": cfg.protocol,
         "dataset": {
-            "kind": "synthetic-corners",
+            "kind": "synthetic-corners" + ("-faces" if cfg.faces else ""),
+            "faces": cfg.faces,
             "shift": (
-                {"pretrain_style": "PRETRAIN_STYLE", "finetune_style": "FINETUNE_STYLE",
+                {"pretrain_style": "PRETRAIN_STYLE" + ("_FACES" if cfg.faces else ""),
+                 "finetune_style": "FINETUNE_STYLE" + ("_FACES" if cfg.faces else ""),
                  "n_pretrain": cfg.n_pretrain}
                 if shifted else None
             ),
@@ -275,7 +326,13 @@ def run(cfg: ABConfig) -> dict:
         "protocol": {"pretrain_epochs": cfg.pretrain_epochs,
                      "finetune_epochs": cfg.finetune_epochs,
                      "batch_size": B, "backbone": "resnet50", "lr": 1e-4,
-                     "augment": cfg.augment, "n_eval": cfg.n_eval},
+                     "augment": cfg.augment, "n_eval": cfg.n_eval,
+                     "scheduler": (
+                         {"kind": "ReduceLROnPlateau", "patience": 5, "factor": 0.5,
+                          "val_cadence_epochs": 1}
+                         if cfg.sched else None
+                     ),
+                     "arm_seeds": cfg.arm_seeds},
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "phases": {},
@@ -290,11 +347,13 @@ def run(cfg: ABConfig) -> dict:
 
     arms = [a.strip() for a in cfg.arms.split(",") if a.strip()]
     cache_tag = (f"{cfg.protocol}_{cfg.pretrain_epochs}_n{cfg.n_pretrain if shifted else cfg.n_train}"
-                 f"_s{cfg.seed}_r{res}{'_aug' if cfg.augment else ''}")
+                 f"_s{cfg.seed}_r{res}{'_aug' if cfg.augment else ''}{'_faces' if cfg.faces else ''}")
 
-    # 1. pretrain with exact BN (snapshot cached — it is the INPUT to the A/B)
+    # 1. pretrain with exact BN (snapshot cached — it is the INPUT to the A/B;
+    #    constant lr, matching the reference where pretraining is an external
+    #    input too: ImageNet weights, argus/models.py:43)
     pre_ckpt = f"/tmp/corners_pretrain_{cache_tag}.ckpt"
-    _, model_e, state0, step_e = make("exact")
+    _, model_e, state0, step_e, _ = make("exact")
     errs_e = make_errs(model_e)
     if os.path.exists(pre_ckpt):
         state_pre = load_checkpoint(pre_ckpt, state0)
@@ -313,7 +372,7 @@ def run(cfg: ABConfig) -> dict:
     #    architecture), so it gets its own cached pretrain under the same
     #    shift, then the same fine-tune treatment.
     for mode in arms:
-        tc_m, model_m, state_m0, step_m = make(mode)
+        tc_m, model_m, state_m0, step_m, ev_m = make(mode)
         errs_m = make_errs(model_m, keypoint=mode.startswith("keypoint"))
         if mode.startswith("keypoint"):
             kp_ckpt = f"/tmp/corners_pretrain_kp_{cache_tag}.ckpt"
@@ -326,7 +385,7 @@ def run(cfg: ABConfig) -> dict:
                 if mode == "keypoint":
                     state_e0, step_e_kp = state_m0, step_m
                 else:
-                    _, _, state_e0, step_e_kp = make("keypoint")
+                    _, _, state_e0, step_e_kp, _ = make("keypoint")
                 snap = train_epochs(
                     state_e0, step_e_kp, cfg.pretrain_epochs, "pretrain-keypoint",
                     pre_imgs, pre_poses,
@@ -348,14 +407,30 @@ def run(cfg: ABConfig) -> dict:
             )
             ft = train_epochs(
                 ft, step_m, cfg.finetune_epochs, f"finetune-{mode}-s{s}",
-                ft_imgs, ft_poses,
+                ft_imgs, ft_poses, eval_step=ev_m,
             )
-            runs.append(errs_m(ft.params, ft.batch_stats))
+            run = errs_m(ft.params, ft.batch_stats)
+            if cfg.sched:
+                run["final_lr"] = float(ft.lr)
+            runs.append(run)
+
+        def stats(key):
+            v = np.array([r[key] for r in runs], np.float64)
+            q1, med, q3 = np.percentile(v, [25, 50, 75])
+            # median + IQR are the quotable numbers (VERDICT r4: 3-seed means
+            # were dominated by single catastrophic runs); mean kept for
+            # continuity with the round-4 artifact
+            return {"median": round(float(med), 2), "iqr": [round(float(q1), 2), round(float(q3), 2)],
+                    "mean": round(float(np.mean(v)), 2)}
+
         summary = {
+            "rot_deg": stats("rot_deg"),
+            "trans_cm": stats("trans_cm"),
+            "train_rot_deg": stats("train_rot_deg"),
+            "train_trans_cm": stats("train_trans_cm"),
+            # legacy mean keys (round-4 readers)
             "rot_deg_mean": round(float(np.mean([r["rot_deg"] for r in runs])), 2),
             "trans_cm_mean": round(float(np.mean([r["trans_cm"] for r in runs])), 2),
-            "train_rot_deg_mean": round(float(np.mean([r["train_rot_deg"] for r in runs])), 2),
-            "train_trans_cm_mean": round(float(np.mean([r["train_trans_cm"] for r in runs])), 2),
             "runs": runs,
         }
         result["phases"][f"finetune_{mode}"] = summary
