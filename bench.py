@@ -75,6 +75,87 @@ def _analytic_step_flops(n_images, hw, stem_frozen=False, stem_grad_stride=1, fr
     return float(total) * n_images
 
 
+def _analytic_step_bytes(
+    n_images, hw, n_params, stem_frozen=False, stem_grad_stride=1, frozen_stages=0
+):
+    """Training-step HBM bytes of the fused-backbone flagship from the kernel
+    contracts (VERDICT r4 #5: Pallas custom calls are invisible to XLA's cost
+    analysis, so `bytes accessed` collapsed to the augment/optimizer residue
+    once fusion became the default — this mirrors `_analytic_step_flops` on
+    the bytes axis).
+
+    Derivation (bf16 activations, b=2 bytes; per camera image unless noted):
+
+      * augmentation: one u8 read (H*W*3) + ~6 bf16 image passes (convert
+        write, fused jiggle/planckian read+write, blur read+write, arcs r/w —
+        ops/augment.py pipeline). The pass count is the one estimated term;
+        it is ~2% of the step so its error is bounded.
+      * stem (fused, ops/pallas/stem_fused.py): read the bf16 input once,
+        write the pooled (H/4, W/4, 64) output once; interiors are
+        VMEM-resident. Unfrozen stem adds a wgrad pass (re-read input + grad
+        at 1/stem_grad_stride of the batch).
+      * each fused bottleneck block (ops/pallas/block_fused.py — the saved-
+        residual contract `_block_fwd_save_pallas`/`_block_bwd_saved_pallas`,
+        which measured faster than in-kernel recompute at every geometry):
+          fwd:  read x, write out, write saved h1+h2
+          bwd:  read x + out + g + h1 + h2, write dx
+        Projection entries (proj_fused.py `_proj_bwd_pallas`) follow the same
+        contract with their stride geometry (h1 at r_in, h2/out at r_out).
+        The stage-chain kernels save block boundaries instead of re-reading
+        per-block x — byte-identical at this resolution.
+        Frozen stages run forward-only WITHOUT the h1/h2 saves.
+      * weights (per step, not per image): each fused kernel reads its folded
+        weights once per pass (Mosaic caches constant-index blocks across the
+        grid); backward writes f32 weight-grads.
+      * optimizer: global-norm clip + Adam over n_params f32 = ~8 passes
+        (read g twice, read p/m/v, write p/m/v).
+
+    Head/loss (<0.5%) are ignored, like the FLOP model. Cross-check: at
+    B=128 unfused exact-BN geometry the same enumeration plus BN-stats
+    re-reads reproduces the round-2 XLA-measured 105.6 GB/step within ~10%."""
+    H, W = hw
+    b = 2.0
+    per_img = 0.0
+    # augmentation + convert (u8 read + ~6 bf16 passes)
+    per_img += H * W * 3 * (1.0 + 6.0 * b)
+    # stem: bf16 in once, pooled out once (+ optional subsampled wgrad pass)
+    r_stem_out = (H // 4) * (W // 4)
+    per_img += H * W * 3 * b + r_stem_out * 64 * b
+    stem_off = stem_frozen or frozen_stages >= 1
+    if not stem_off:
+        per_img += (H * W * 3 + r_stem_out * 64) * b / stem_grad_stride
+    weight_bytes = 0.0
+    cin = 64
+    r_in = r_stem_out
+    for s, (k, F) in enumerate([(3, 64), (4, 128), (6, 256), (3, 512)]):
+        cout = 4 * F
+        r_out = r_in if s == 0 else r_in // 4
+        train = s >= frozen_stages
+        # projection entry
+        per_img += r_in * cin * b + r_out * cout * b  # read x, write out
+        if train:
+            per_img += (r_in * F + r_out * F) * b  # save h1, h2
+            per_img += (
+                r_in * cin + 2 * r_out * cout + r_in * F + r_out * F + r_in * cin
+            ) * b  # bwd reads + dx write
+        # identity blocks
+        n_id = k - 1
+        per_img += n_id * 2 * r_out * cout * b  # read x, write out
+        if train:
+            per_img += n_id * 2 * r_out * F * b  # save h1, h2
+            per_img += n_id * (3 * r_out * cout + 2 * r_out * F + r_out * cout) * b
+        # weights: fwd read (+ bwd read + f32 dgrad write when training)
+        wp = cin * F + 9 * F * F + F * cout + cin * cout
+        wi = cout * F + 9 * F * F + F * cout
+        wstage = wp + n_id * wi
+        weight_bytes += wstage * b * (1 + (1 if train else 0)) + (
+            wstage * 4.0 if train else 0.0
+        )
+        cin, r_in = cout, r_out
+    opt_bytes = 8.0 * n_params * 4.0
+    return per_img * n_images + weight_bytes + opt_bytes
+
+
 def _bench_e2e(jax, jnp, train_step, state, batch_size, hw, n_steps=12, model=None, cfg=None):
     """End-to-end training throughput through the REAL input pipeline
     (VERDICT r2 #2): on-disk PNG dataset -> native libpng decoder ->
@@ -358,13 +439,21 @@ def main() -> None:
     # Pallas custom calls are invisible to the XLA cost analysis; once the
     # fused backbone became the default the compiled-program count collapsed
     # to the augmentation/optimizer residue. Detect that and switch to the
-    # architecture-derived count (bytes stay None — no honest number exists).
+    # architecture-derived FLOP count and the kernel-contract bytes model
+    # (_analytic_step_bytes — VERDICT r4 #5: hbm_util must not be null).
     analytic = _analytic_step_flops(
         2 * batch_size, hw, stem_frozen, stem_grad_stride, frozen_stages
     )
+    bytes_source = "xla"
     if step_flops is None or step_flops < 0.5 * analytic:
         step_flops = analytic
-        step_bytes = None
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
+        )
+        step_bytes = _analytic_step_bytes(
+            2 * batch_size, hw, n_params, stem_frozen, stem_grad_stride, frozen_stages
+        )
+        bytes_source = "analytic"
     state, loss = train_step(state, batch)
     float(loss)
     t0 = time.perf_counter()
@@ -577,6 +666,10 @@ def main() -> None:
                     else None,
                     "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
                     "step_gb": round(step_bytes / 1e9, 2) if step_bytes else None,
+                    # "xla" = compiled-program cost analysis; "analytic" = the
+                    # kernel-contract bytes model (fused backbone — see
+                    # _analytic_step_bytes derivation)
+                    "bytes_source": bytes_source,
                     # BOTH configuration families in one artifact (VERDICT r3 #2):
                     # the headline IS full backprop when frozen_stages=0
                     "full_backprop": (
