@@ -13,7 +13,7 @@ from argus_tpu.data.dataset import (
     CameraCubePoseDatasetConfig,
     HostDataLoader,
 )
-from argus_tpu.data.resident import DeviceResidentData
+from argus_tpu.data.resident import DeviceResidentData, ResidentShardedData
 from argus_tpu.data.streaming import StreamingRenderLoader
 from argus_tpu.data.synthetic import write_synthetic_dataset
 
@@ -21,6 +21,7 @@ __all__ = [
     "CameraCubePoseDataset",
     "CameraCubePoseDatasetConfig",
     "DeviceResidentData",
+    "ResidentShardedData",
     "HostDataLoader",
     "StreamingRenderLoader",
     "write_synthetic_dataset",

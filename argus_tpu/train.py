@@ -42,6 +42,7 @@ from argus_tpu.data import (
     CameraCubePoseDataset,
     CameraCubePoseDatasetConfig,
     DeviceResidentData,
+    ResidentShardedData,
     HostDataLoader,
 )
 from argus_tpu.geom import se3_exp, se3_inverse, se3_log, se3_multiply
@@ -661,11 +662,13 @@ def initialize_training(cfg: TrainConfig):
     train_step = make_train_step(model, cfg, base_seed=cfg.random_seed, mesh=mesh, hw=sample_hw)
     eval_step = make_eval_step(model, cfg, base_seed=cfg.random_seed, hw=sample_hw)
 
-    # device-resident feed: auto-selected when the split fits the HBM budget
-    resident = epoch_step = None
-    if process_count == 1 and DeviceResidentData.fits(
-        train_dataset, getattr(cfg, "device_resident_mb", 0)
-    ):
+    # device-resident feed: auto-selected when the split fits the HBM budget;
+    # datasets PAST the budget fall back to epoch-level resident shard swaps
+    # (data/resident.ResidentShardedData) — bulk double-buffered uploads +
+    # whole-shard on-chip programs instead of the per-step host feed.
+    resident = epoch_step = resident_sharded = shard_steps = None
+    budget_mb = getattr(cfg, "device_resident_mb", 0)
+    if process_count == 1 and DeviceResidentData.fits(train_dataset, budget_mb):
         resident = DeviceResidentData.from_dataset(
             train_dataset, mesh=mesh, n_threads=cfg.num_workers
         )
@@ -673,6 +676,21 @@ def initialize_training(cfg: TrainConfig):
             model, cfg, base_seed=cfg.random_seed, n_examples=len(train_dataset),
             mesh=mesh, hw=sample_hw,
         )
+    elif process_count == 1 and ResidentShardedData.applicable(train_dataset, budget_mb):
+        resident_sharded = ResidentShardedData(
+            train_dataset, budget_mb, mesh=mesh, n_threads=cfg.num_workers,
+            seed=cfg.random_seed,
+        )
+        # one compiled whole-shard program per DISTINCT shard length (at most
+        # two: the equal-size shards + the smaller tail shard)
+        shard_steps = {
+            n_k: make_resident_epoch_step(
+                model, cfg, base_seed=cfg.random_seed, n_examples=n_k,
+                mesh=mesh, hw=sample_hw,
+            )[0]
+            for n_k in {resident_sharded.shard_size, resident_sharded.tail_size}
+            if n_k <= len(train_dataset)
+        }
 
     run_id = generate_run_id()
     logger = MetricsLogger(
@@ -693,6 +711,8 @@ def initialize_training(cfg: TrainConfig):
         eval_step=eval_step,
         resident=resident,
         epoch_step=epoch_step,
+        resident_sharded=resident_sharded,
+        shard_steps=shard_steps,
         logger=logger,
         run_id=run_id,
         rank=process_index,
@@ -789,6 +809,18 @@ def _train_epochs(
                 state, res.images, res.poses, jnp.asarray(epoch, jnp.int32)
             )
             pending.extend(losses)
+        elif setup.get("resident_sharded") is not None:
+            # epoch-level resident shard swaps: each shard is one on-chip
+            # whole-shard program; the next shard's decode+upload overlaps it
+            # (data/resident.ResidentShardedData). Preemption granularity is
+            # one shard.
+            for d_imgs, d_poses, segment, n_k in setup["resident_sharded"].epoch_shards(epoch):
+                state, losses = setup["shard_steps"][n_k](
+                    state, d_imgs, d_poses, jnp.asarray(segment, jnp.int32)
+                )
+                pending.extend(losses)
+                if guard.requested:
+                    break
         else:
             # double-buffered H2D: the next batch's transfer overlaps the in-flight step
             for device_batch in tqdm(

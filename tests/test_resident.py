@@ -96,6 +96,83 @@ def test_resident_epoch_matches_manual_loop(dummy_data_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_resident_matches_manual_loop(dummy_data_path):
+    """Datasets past the HBM budget: epoch-level resident shard swaps
+    (data/resident.ResidentShardedData) must equal the per-step train path fed
+    the same shard-local batch orders — including augmentation randomness
+    (keys ride state.step, which advances identically) and each shard's padded
+    tail batch. 10 examples, budget -> shard_size=4: shards of 4/4/2."""
+    from argus_tpu.data import ResidentShardedData
+
+    cfg = TrainConfig(
+        model_config=NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
+        batch_size=4,
+        augmentation_config=AugmentationConfig(num_spaghetti=1, pallas_blur=False),
+        use_augmentation=True,
+        wandb_log=False,
+    )
+    ds = _dataset(dummy_data_path)
+    per_ex = DeviceResidentData.bytes_estimate(ds) / len(ds)
+    budget_mb = 9 * per_ex / 2**20  # whole split (10) does NOT fit; shards of 4
+    assert not DeviceResidentData.fits(ds, budget_mb)
+    assert ResidentShardedData.applicable(ds, budget_mb)
+    rs = ResidentShardedData(ds, budget_mb, seed=3)
+    assert (rs.shard_size, rs.n_shards, rs.tail_size) == (4, 3, 2)
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), (64, 64))
+    state2 = jax.tree_util.tree_map(jnp.copy, state)  # epoch steps donate input
+    steps = {
+        n: make_resident_epoch_step(model, cfg, base_seed=7, n_examples=n)[0]
+        for n in (4, 2)
+    }
+    shard_log, losses_all = [], []
+    for imgs, poses, seg, n_k in rs.epoch_shards(0):
+        shard_log.append((np.asarray(imgs), np.asarray(poses), seg, n_k))
+        state, losses = steps[n_k](state, imgs, poses, jnp.asarray(seg, jnp.int32))
+        losses_all.extend(np.asarray(losses))
+    assert len(shard_log) == 3 and sum(n for *_, n in shard_log) == 10
+    # shard order is the epoch-seeded permutation — all 10 examples seen once
+    # (poses are distinct in the fixture)
+    seen = np.concatenate([p for _, p, *_ in shard_log])
+    assert len(np.unique(seen.round(5), axis=0)) == 10
+
+    # manual replay: same shard data through the per-step path with the same
+    # on-device permutation stream (segment-folded, like the epoch program)
+    step = make_train_step(model, cfg, base_seed=7)
+    st = state2
+    manual = []
+    B = cfg.batch_size
+    for imgs, poses, seg, n_k in shard_log:
+        perm = np.asarray(
+            jax.random.permutation(
+                jax.random.fold_in(jax.random.PRNGKey(7 ^ 0x5EED), seg), n_k
+            )
+        )
+        k = -(-n_k // B)
+        pad = k * B - n_k
+        if pad:
+            perm = np.concatenate([perm, perm[:pad]])
+        mask = (np.arange(k * B) < n_k).astype(np.float32)
+        for i in range(k):
+            sel = perm[i * B : (i + 1) * B]
+            st, l = step(
+                st,
+                {
+                    "images": jnp.asarray(imgs[sel]),
+                    "cube_pose": jnp.asarray(poses[sel]),
+                    "mask": jnp.asarray(mask[i * B : (i + 1) * B]),
+                },
+            )
+            manual.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses_all), manual, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(st.params)
+    ):
+        # atol 1e-5: scan-vs-eager compile to different fp association (one
+        # element in 8k differed by 1.8e-6 on CPU); losses match to 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_resident_epoch_on_mesh_matches_single_device(dummy_data_path):
     """The PRODUCTION multi-chip resident path (VERDICT r4 #4): the whole-epoch
@@ -166,3 +243,14 @@ def test_initialize_training_auto_selects_resident(dummy_data_path, dummy_save_d
 
     setup_off = initialize_training(TrainConfig(**base, device_resident_mb=0))
     assert setup_off["resident"] is None
+    assert setup_off["resident_sharded"] is None  # 0 disables shard swaps too
+
+    # budget too small for the whole split but positive -> shard swaps selected,
+    # with one compiled whole-shard program per distinct shard length
+    ds = _dataset(dummy_data_path)
+    per_mb = DeviceResidentData.bytes_estimate(ds) / len(ds) / 2**20
+    setup_sh = initialize_training(TrainConfig(**base, device_resident_mb=9 * per_mb))
+    assert setup_sh["resident"] is None
+    rs = setup_sh["resident_sharded"]
+    assert rs is not None and (rs.shard_size, rs.tail_size) == (4, 2)
+    assert set(setup_sh["shard_steps"]) == {4, 2}
