@@ -411,7 +411,7 @@ def run(cfg: ABConfig) -> dict:
             )
             run = errs_m(ft.params, ft.batch_stats)
             if cfg.sched:
-                run["final_lr"] = float(ft.lr)
+                run["final_lr"] = float(f"{float(ft.lr):.3g}")
             runs.append(run)
 
         def stats(key):
