@@ -75,6 +75,37 @@ def _analytic_step_flops(n_images, hw, stem_frozen=False, stem_grad_stride=1, fr
     return float(total) * n_images
 
 
+def _analytic_kp_flops(n_images, hw, stem_frozen=False, heatmap_stride=8, head_features=128):
+    """Training-step FLOPs of the keypoint family (resnet18 BasicBlock encoder +
+    resize-conv upsampling head, models/keypoint_net.py). Same counting rules as
+    `_analytic_step_flops`: convs x3 for fwd+dgrad+wgrad, stem x2 (images carry
+    no gradient) or x1 frozen; soft-argmax/loss/PnP are <0.5% and ignored."""
+    H, W = hw
+    stem_fwd = (H // 2) * (W // 2) * 49 * 3 * 64 * 2
+    total = stem_fwd * (1 if stem_frozen else 2)
+    cin = 64
+    r = (H // 4) * (W // 4)
+    for s, c in enumerate([64, 128, 256, 512]):
+        r_out = r if s == 0 else r // 4
+        # entry block: conv1 (stride 2 off stage 0) + conv2 + 1x1 downsample
+        entry = r_out * 9 * cin * c * 2 + r_out * 9 * c * c * 2
+        if s > 0:
+            entry += r_out * cin * c * 2
+        # second block: two 3x3 convs at c
+        second = 2 * r_out * 9 * c * c * 2
+        total += 3 * (entry + second)
+        cin, r = c, r_out
+    # upsampling head: stride 32 -> heatmap_stride resize-convs + 1x1 logits
+    stride, cin_h, rh = 32, 512, (H // 32) * (W // 32)
+    while stride > heatmap_stride:
+        rh *= 4
+        total += 3 * rh * 9 * cin_h * head_features * 2
+        cin_h = head_features
+        stride //= 2
+    total += 3 * rh * cin_h * 8 * 2
+    return float(total) * n_images
+
+
 def _analytic_step_bytes(
     n_images, hw, n_params, stem_frozen=False, stem_grad_stride=1, frozen_stages=0
 ):
@@ -279,11 +310,53 @@ def _bench_e2e(jax, jnp, train_step, state, batch_size, hw, n_steps=12, model=No
         resident_dt = time.perf_counter() - t0
         resident_img_s = 2 * n_train * n_epochs / resident_dt
 
+    # SHARDED-resident variant (round 5): the mitigation for datasets PAST the
+    # HBM budget (VERDICT r4 weak item) — epoch-level resident shard swaps
+    # with double-buffered bulk uploads (data/resident.ResidentShardedData +
+    # per-shard on-chip programs). Budget forced to a third of the split so
+    # the path actually shards. On this harness the ~20 MB/s tunnel dominates
+    # (a co-located host hides the swap behind compute); the number is the
+    # honest bulk-transfer-vs-per-step-feed comparison under the same pipe.
+    sharded_img_s = None
+    if model is not None and cfg is not None:
+        try:
+            import dataclasses
+
+            from argus_tpu.data import ResidentShardedData
+            from argus_tpu.train import make_resident_epoch_step
+
+            # half-split budget -> quarter-split shards = exactly batch_size
+            # examples each (n_train = 4*batch_size): ONE compiled whole-shard
+            # program, no padding waste
+            budget_mb = DeviceResidentData.bytes_estimate(dataset) / 2 / 2**20
+            rs = ResidentShardedData(dataset, budget_mb, n_threads=workers)
+            rcfg = dataclasses.replace(cfg, batch_size=batch_size)
+            shard_steps = {
+                n_k: make_resident_epoch_step(model, rcfg, base_seed=0, n_examples=n_k)[0]
+                for n_k in {rs.shard_size, rs.tail_size}
+            }
+            sstate = jax.tree_util.tree_map(jnp.copy, state)
+            for d_i, d_p, seg, n_k in rs.epoch_shards(0):  # compile epoch
+                sstate, sl = shard_steps[n_k](sstate, d_i, d_p, jnp.int32(seg))
+            float(sl[-1])
+            t0 = time.perf_counter()
+            n_ep_s = 2
+            for e in range(1, 1 + n_ep_s):
+                for d_i, d_p, seg, n_k in rs.epoch_shards(e):
+                    sstate, sl = shard_steps[n_k](sstate, d_i, d_p, jnp.int32(seg))
+            float(sl[-1])
+            sharded_img_s = 2 * n_train * n_ep_s / (time.perf_counter() - t0)
+        except Exception as e:  # surfaced in the extras, never fatal
+            sharded_img_s = f"error: {type(e).__name__}: {e}"
+
     extras = {
         "e2e_images_per_sec": round(e2e_img_s, 2),
         "e2e_step_wall_ms": round(e2e_dt / steps * 1e3, 2),
         "ram_cached_images_per_sec": round(ram_img_s, 2),
         "resident_images_per_sec": round(resident_img_s, 2) if resident_img_s else None,
+        "sharded_resident_images_per_sec": (
+            round(sharded_img_s, 2) if isinstance(sharded_img_s, float) else sharded_img_s
+        ),
         "feed_ms_per_batch": round(feed_ms, 2),
         "h2d_ms_per_batch": round(h2d_ms, 2),
         "native_decoder": native.available(),
@@ -414,11 +487,41 @@ def main() -> None:
     train_step = make_train_step(model, cfg, base_seed=0)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(rng.integers(0, 256, (batch_size, *hw, 6), dtype=np.uint8)),
-        "cube_pose": jnp.tile(jnp.array([0, 0, 0, 0, 0, 0, 1], jnp.float32), (batch_size, 1)),
-        "mask": jnp.ones((batch_size,), jnp.float32),
-    }
+    # Feed the compute bench from the rendered corners dataset (the same one
+    # the e2e section uses) rather than random noise with a constant pose:
+    # step time is shape-bound either way, but real images + real poses give
+    # the step realistic activation statistics and a meaningful train loss
+    # (VERDICT r4 weak item). Falls back to noise if rendering is unavailable.
+    def real_batch():
+        from argus_tpu.data import CameraCubePoseDataset, CameraCubePoseDatasetConfig
+        from argus_tpu.data.synthetic import write_synthetic_dataset
+
+        n_train = 4 * batch_size
+        data_dir = f"/tmp/argus_e2e_{n_train}x{hw[0]}"
+        marker = os.path.join(data_dir, f"{os.path.basename(data_dir)}.hdf5")
+        if not os.path.exists(marker):
+            write_synthetic_dataset(
+                data_dir, n_train=n_train, n_test=8, height=hw[0], width=hw[1],
+                pose_encoded="corners",
+            )
+        ds = CameraCubePoseDataset(
+            CameraCubePoseDatasetConfig(dataset_path=data_dir, center_crop=hw), train=True
+        )
+        sel = list(range(batch_size))
+        return {
+            "images": jnp.asarray(ds.load_images_batch(sel)),
+            "cube_pose": jnp.asarray(np.asarray(ds.cube_poses[sel], np.float32)),
+            "mask": jnp.ones((batch_size,), jnp.float32),
+        }
+
+    try:
+        batch = real_batch()
+    except Exception:
+        batch = {
+            "images": jnp.asarray(rng.integers(0, 256, (batch_size, *hw, 6), dtype=np.uint8)),
+            "cube_pose": jnp.tile(jnp.array([0, 0, 0, 0, 0, 0, 1], jnp.float32), (batch_size, 1)),
+            "mask": jnp.ones((batch_size,), jnp.float32),
+        }
 
     # ── training throughput ──
     # NOTE: block_until_ready is unreliable through the remote-TPU tunnel this runs
@@ -496,6 +599,54 @@ def main() -> None:
         }
         del model3, state3, step3
 
+    # ── gradient accumulation at large effective batch (VERDICT r4 #7) ──
+    # The remat ladder showed B=384 full-backprop OOMs on saved residuals
+    # (docs/ROUND4_NOTES.md); ROUND4_NOTES recommends grad_accum_steps as the
+    # B>=512 lever — this measures it instead of asserting it. Microbatches at
+    # the headline batch size, so per-microbatch activation memory is
+    # unchanged; frozen BN makes accumulation exact (train.py assert).
+    # BENCH_GRAD_ACCUM=0 skips; BENCH_ACCUM_BATCH sets the effective batch.
+    grad_accum = None
+    if (
+        os.environ.get("BENCH_GRAD_ACCUM", "1") != "0"
+        and bn_mode == "frozen"
+    ):
+        try:
+            import dataclasses
+
+            eff = int(os.environ.get("BENCH_ACCUM_BATCH", 2 * batch_size))
+            k_acc = max(2, eff // batch_size)
+            eff = k_acc * batch_size
+            cfg_ga = dataclasses.replace(cfg, grad_accum_steps=k_acc)
+            batch_ga = {
+                "images": jnp.concatenate([batch["images"]] * k_acc, axis=0),
+                "cube_pose": jnp.concatenate([batch["cube_pose"]] * k_acc, axis=0),
+                "mask": jnp.ones((eff,), jnp.float32),
+            }
+            model_ga, state_ga = create_train_state(cfg_ga, jax.random.PRNGKey(0), hw)
+            step_ga = make_train_step(model_ga, cfg_ga, base_seed=0)
+            state_ga, loss_ga = step_ga(state_ga, batch_ga)
+            float(loss_ga)
+            n_ga = max(4, n_steps // 2)
+            t0 = time.perf_counter()
+            for _ in range(n_ga):
+                state_ga, loss_ga = step_ga(state_ga, batch_ga)
+            float(loss_ga)
+            dt_ga = time.perf_counter() - t0
+            flops_ga = _analytic_step_flops(
+                2 * eff, hw, stem_frozen, stem_grad_stride, frozen_stages
+            )
+            grad_accum = {
+                "eff_batch": eff,
+                "accum_steps": k_acc,
+                "step_ms": round(dt_ga / n_ga * 1e3, 2),
+                "images_per_sec": round(2 * eff * n_ga / dt_ga, 2),
+                "mfu": round(flops_ga / (dt_ga / n_ga) / 197e12, 4),
+            }
+            del model_ga, state_ga, step_ga, batch_ga
+        except Exception as e:  # never lose the headline to the accum probe
+            grad_accum = {"error": f"{type(e).__name__}: {e}"}
+
     # ── keypoint-family training throughput ──
     # The corner-heatmap + differentiable-PnP family is the round-4 ACCURACY
     # headline (the only family that learns rotation under the transfer-shifted
@@ -509,26 +660,48 @@ def main() -> None:
 
             from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
 
-            kcfg = dataclasses.replace(
-                cfg, model_type="keypoint", keypoint_config=CubeKeypointNetConfig()
+            def kp_measure(kp_config):
+                kcfg = dataclasses.replace(
+                    cfg, model_type="keypoint", keypoint_config=kp_config
+                )
+                kmodel, kstate = create_train_state(kcfg, jax.random.PRNGKey(0), hw)
+                kstep = make_train_step(kmodel, kcfg, base_seed=0, hw=hw)
+                kstate, kloss = kstep(kstate, batch)  # compile + warmup
+                float(kloss)
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    kstate, kloss = kstep(kstate, batch)
+                float(kloss)
+                dtk = time.perf_counter() - t0
+                kflops = _analytic_kp_flops(
+                    2 * batch_size, hw, stem_frozen=kp_config.stem_frozen
+                )
+                return {
+                    "step_ms": round(dtk / n_steps * 1e3, 2),
+                    "images_per_sec": round(2 * batch_size * n_steps / dtk, 2),
+                    "mfu": round(kflops / (dtk / n_steps) / 197e12, 4),
+                    "batch": batch_size,
+                    "backbone": kp_config.backbone,
+                }
+
+            # the exact-BN config the accuracy A/B trains (its headline number)
+            keypoint = kp_measure(CubeKeypointNetConfig())
+            keypoint["accuracy_note"] = (
+                "transfer headline family (held-out rot+trans; ACCURACY_r0{4,5}.json)"
             )
-            kmodel, kstate = create_train_state(kcfg, jax.random.PRNGKey(0), hw)
-            kstep = make_train_step(kmodel, kcfg, base_seed=0, hw=hw)
-            kstate, kloss = kstep(kstate, batch)  # compile + warmup
-            float(kloss)
-            t0 = time.perf_counter()
-            for _ in range(n_steps):
-                kstate, kloss = kstep(kstate, batch)
-            float(kloss)
-            dtk = time.perf_counter() - t0
-            keypoint = {
-                "step_ms": round(dtk / n_steps * 1e3, 2),
-                "images_per_sec": round(2 * batch_size * n_steps / dtk, 2),
-                "batch": batch_size,
-                "backbone": kcfg.keypoint_config.backbone,
-                "accuracy_note": "transfer headline: 4.5deg/0.47cm held-out (ACCURACY_r04.json)",
-            }
-            del kmodel, kstate, kstep
+            # the fused-compatible perf config (VERDICT r4 #6): frozen BN
+            # (+affine) + frozen stem auto-engages the fused Pallas stem +
+            # identity-BasicBlock kernels (models/resnet.py "auto"); its
+            # accuracy evidence is the A/B's keypoint_frozen arm.
+            if os.environ.get("BENCH_KP_FROZEN", "1") != "0":
+                keypoint["frozen_fused"] = kp_measure(
+                    CubeKeypointNetConfig(
+                        bn_frozen=True, bn_frozen_affine=True, stem_frozen=True
+                    )
+                )
+                keypoint["frozen_fused"]["accuracy_note"] = (
+                    "A/B arm: keypoint_frozen (ACCURACY_r05.json)"
+                )
         except Exception as e:  # never lose the headline to the secondary family
             keypoint = {"error": f"{type(e).__name__}: {e}"}
 
@@ -686,6 +859,8 @@ def main() -> None:
                         else None
                     ),
                     "frozen_finetune_k3": second,
+                    # grad accumulation at effective B>=512 (VERDICT r4 #7)
+                    "grad_accum": grad_accum,
                     # keypoint family (the transfer-accuracy headline)
                     "keypoint_train": keypoint,
                     # batched offline serving (fused-bf16-frozen forward)
