@@ -322,7 +322,7 @@ def _bench_e2e(jax, jnp, train_step, state, batch_size, hw, n_steps=12, model=No
         try:
             import dataclasses
 
-            from argus_tpu.data import ResidentShardedData
+            from argus_tpu.data import DeviceResidentData, ResidentShardedData
             from argus_tpu.train import make_resident_epoch_step
 
             # half-split budget -> quarter-split shards = exactly batch_size
