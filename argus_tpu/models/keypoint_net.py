@@ -71,6 +71,18 @@ class CubeKeypointNetConfig:
     # progressive layer freezing: freeze stem + stages 0..k-1 (models/resnet.py
     # frozen_stages); 0 = off
     frozen_stages: int = 0
+    # Fused-Pallas-backbone knobs, forwarded to the encoder (models/resnet.py
+    # fuse_*; same "auto"/"on"/"off" semantics, engaged only under frozen
+    # BN+affine). Default OFF for this family — unlike the resnet50 pose-cnn,
+    # the resnet18 encoder measured SLOWER fused at the bench shapes
+    # (B=256 2x256x256: 111.1 ms fused vs 102.9 exact-BN XLA, BENCH r5;
+    # .bench/probe_kp_fuse_split.py splits the freezing/fusion levers) — its
+    # 64/128-channel BasicBlock stages sit exactly in the F<128 lane-underfill
+    # geometry where XLA's conv custom-calls win (docs/ROUND5_NOTES.md).
+    fuse_block: str = "off"
+    fuse_proj: str = "off"
+    fuse_stem: str = "off"
+    fuse_stage: str = "off"
 
 
 class CubeKeypointNet(nn.Module):
@@ -101,6 +113,10 @@ class CubeKeypointNet(nn.Module):
             bn_frozen_affine=cfg.bn_frozen_affine,
             stem_frozen=cfg.stem_frozen,
             frozen_stages=cfg.frozen_stages,
+            fuse_block=cfg.fuse_block,
+            fuse_proj=cfg.fuse_proj,
+            fuse_stem=cfg.fuse_stem,
+            fuse_stage=cfg.fuse_stage,
             name="backbone",
         )
         feats = backbone(per_cam, train=train, return_spatial=True)  # (N, H/32, W/32, C')

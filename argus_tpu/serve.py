@@ -56,7 +56,14 @@ def throughput_tuned_config(cfg):
     checkpoint was trained. The frozen/fuse/dtype flags are variable-tree
     NEUTRAL (frozen BN keeps scale/bias in params and mean/var in batch_stats,
     only stop-gradiented — models/resnet.py FrozenBatchNorm), so the trained
-    params drop in unchanged. No-op for configs without fuse fields."""
+    params drop in unchanged. No-op for configs without fuse fields.
+
+    The fused chains engage only for BOTTLENECK backbones (resnet50/101),
+    where the 256-2048-channel contractions fill the MXU; BasicBlock
+    backbones (resnet18/34 — the keypoint family's encoder) measured SLOWER
+    fused (64/128-channel lane underfill, .bench/probe_kp_fuse_split.py:
+    -36 ms on the B=256 train step), so they keep XLA convs and take only
+    the bf16 + folded-frozen-BN wins."""
     import dataclasses
 
     fuse_fields = {f.name for f in dataclasses.fields(cfg)} & {
@@ -64,12 +71,13 @@ def throughput_tuned_config(cfg):
     }
     if not fuse_fields:
         return cfg
+    bottleneck = getattr(cfg, "backbone", "") in ("resnet50", "resnet101")
     return dataclasses.replace(
         cfg,
         bn_frozen=True,
         bn_frozen_affine=True,
         dtype="bfloat16",
-        **{name: "on" for name in fuse_fields},
+        **{name: ("on" if bottleneck else "off") for name in fuse_fields},
     )
 
 

@@ -595,7 +595,7 @@ def main() -> None:
             "mfu": round(flops3 / (dt3 / n_steps) / 197e12, 4),
             "batch": batch_size,
             "frozen_stages": 3,
-            "accuracy_caveat": "transfer-shifted A/B does not support stage freezing (ACCURACY_r04.json)",
+            "accuracy_caveat": "shifted A/B: held-out translation degrades monotonically in k, ~1.28x at k=3 (ACCURACY_r05.json)",
         }
         del model3, state3, step3
 
@@ -689,17 +689,21 @@ def main() -> None:
             keypoint["accuracy_note"] = (
                 "transfer headline family (held-out rot+trans; ACCURACY_r0{4,5}.json)"
             )
-            # the fused-compatible perf config (VERDICT r4 #6): frozen BN
-            # (+affine) + frozen stem auto-engages the fused Pallas stem +
-            # identity-BasicBlock kernels (models/resnet.py "auto"); its
-            # accuracy evidence is the A/B's keypoint_frozen arm.
+            # the frozen fine-tune perf config (VERDICT r4 #6): frozen BN
+            # (+affine) + frozen stem on the family-default PURE-XLA path —
+            # the fuse-split probe (.bench/probe_kp_fuse_split.py) measured
+            # 75.6 ms frozen-XLA vs 103.4 exact vs 111.5 frozen-FUSED at
+            # B=256: freezing wins 27.8 ms but the resnet18 BasicBlock fused
+            # kernels LOSE 36 ms (64/128-channel lane underfill; the opposite
+            # of the resnet50 flagship), so CubeKeypointNetConfig defaults
+            # fuse_*="off". Accuracy evidence: the A/B's keypoint_frozen arm.
             if os.environ.get("BENCH_KP_FROZEN", "1") != "0":
-                keypoint["frozen_fused"] = kp_measure(
+                keypoint["frozen"] = kp_measure(
                     CubeKeypointNetConfig(
                         bn_frozen=True, bn_frozen_affine=True, stem_frozen=True
                     )
                 )
-                keypoint["frozen_fused"]["accuracy_note"] = (
+                keypoint["frozen"]["accuracy_note"] = (
                     "A/B arm: keypoint_frozen (ACCURACY_r05.json)"
                 )
         except Exception as e:  # never lose the headline to the secondary family

@@ -129,26 +129,37 @@ def test_estimator_keypoint_family_from_meta(tmp_path):
 
 def test_serving_tuned_config_selection():
     """Per-batch backbone selection (VERDICT r3 #6): pure-XLA below the
-    measured crossover, fused-bf16-frozen at/above; configs without fuse
-    fields (keypoint) pass through untouched."""
+    measured crossover, bf16-frozen at/above — with the fused chains engaged
+    only for Bottleneck backbones (resnet50/101); BasicBlock encoders
+    (resnet18/34, incl. the keypoint family) measured slower fused
+    (.bench/probe_kp_fuse_split.py) and stay on XLA convs."""
     from argus_tpu.models.keypoint_net import CubeKeypointNetConfig
     from argus_tpu.serve import SERVING_FUSED_MIN_BATCH, serving_tuned_config
 
-    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
+    cfg = NCameraCNNConfig(n_cams=2, backbone="resnet50", resnet_output_dim=16)
     lo = serving_tuned_config(cfg, 1)
     assert lo.fuse_block == "off" and lo.fuse_stage == "off"
     hi = serving_tuned_config(cfg, SERVING_FUSED_MIN_BATCH)
     assert hi.fuse_block == "on" and hi.fuse_stem == "on"
     assert hi.bn_frozen and hi.bn_frozen_affine and hi.dtype == "bfloat16"
-    kp = CubeKeypointNetConfig()
-    assert serving_tuned_config(kp, 64) is kp
+    basic = serving_tuned_config(
+        NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16),
+        SERVING_FUSED_MIN_BATCH,
+    )
+    assert basic.fuse_block == "off" and basic.fuse_stem == "off"
+    assert basic.bn_frozen and basic.dtype == "bfloat16"
+    kp = serving_tuned_config(CubeKeypointNetConfig(), 64)
+    assert kp.fuse_block == "off" and kp.bn_frozen and kp.dtype == "bfloat16"
 
 
 def test_estimator_batched_fused_matches_latency_path(tmp_path):
-    """An exact-BN-trained checkpoint served on the batched fused path: the
-    frozen/fuse/dtype flags are variable-tree neutral, so the params drop in,
-    and the fused-bf16 predictions agree with the batch-1 pure-XLA path up to
-    bf16 noise (at eval, exact BN == frozen BN — both apply running stats)."""
+    """An exact-BN-trained checkpoint served on the batched throughput path:
+    the frozen/fuse/dtype flags are variable-tree neutral, so the params drop
+    in, and the bf16-frozen predictions agree with the batch-1 pure-XLA path
+    up to bf16 noise (at eval, exact BN == frozen BN — both apply running
+    stats). resnet18 keeps XLA convs under the per-backbone fuse policy
+    (serve.throughput_tuned_config); the bf16 + folded-BN levers still apply
+    and are what this equivalence pins."""
     class _Cfg:
         model_config = NCameraCNNConfig(n_cams=2, backbone="resnet18", resnet_output_dim=16)
         amp = False
@@ -162,7 +173,8 @@ def test_estimator_batched_fused_matches_latency_path(tmp_path):
     est1 = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64, batch_size=1)
     estB = Estimator(ckpt, model_config=_Cfg.model_config, height=64, width=64, batch_size=16)
     assert est1.cfg.fuse_block == "off"
-    assert estB.cfg.fuse_block == "on" and estB.cfg.dtype == "bfloat16"
+    assert estB.cfg.fuse_block == "off"  # BasicBlock backbone: XLA convs
+    assert estB.cfg.bn_frozen and estB.cfg.dtype == "bfloat16"
 
     rng = np.random.default_rng(3)
     batch = rng.integers(0, 256, (16, 64, 64, 6), dtype=np.uint8)
